@@ -28,38 +28,52 @@ BASELINE_12MP = REF_A5000_ITERS_PER_S * REF_RESOLUTION / (
 )
 
 
-def time_admm(shape, n_iter, warmup_iter=2, repeats=3):
+def _enable_compile_cache():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lpt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+def time_admm(shape, n_iter, base_iter=2, repeats=5):
+    """it/s via the difference method: per-call overhead (dispatch, state
+    init, padding) cancels between a base_iter run and an n_iter run."""
     import jax.numpy as jnp
     from lenslesspicam_tpu.recon import admm
 
     rng = np.random.RandomState(0)
     psf = rng.rand(1, *shape, 1).astype(np.float32)
     psf /= np.linalg.norm(psf)
-    data = rng.rand(1, *shape, 1).astype(np.float32)
+    data = jnp.asarray(rng.rand(1, *shape, 1).astype(np.float32))
+    data.block_until_ready()
 
     conv = admm.make_convolver(psf)
     psf = None  # free host copy
 
-    # warmup / compile (n_iter is dynamic: same executable for all counts)
-    admm.run_jit(conv, data, n_iter=warmup_iter).block_until_ready()
+    # compile once (n_iter is dynamic: same executable for all counts)
+    admm.run_jit(conv, data, n_iter=base_iter).block_until_ready()
 
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        admm.run_jit(conv, data, n_iter=n_iter).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    # subtract the fixed setup cost measured at warmup_iter iterations
-    t0 = time.perf_counter()
-    admm.run_jit(conv, data, n_iter=warmup_iter).block_until_ready()
-    setup = time.perf_counter() - t0
-    per_iter = (best - setup) / (n_iter - warmup_iter)
-    return 1.0 / per_iter
+    def best_time(k):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            admm.run_jit(conv, data, n_iter=k).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_base = best_time(base_iter)
+    t_full = best_time(n_iter)
+    per_iter = (t_full - t_base) / (n_iter - base_iter)
+    return 1.0 / max(per_iter, 1e-9)
 
 
 def main():
     import jax
 
+    _enable_compile_cache()
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
@@ -70,7 +84,7 @@ def main():
         file=sys.stderr,
     )
 
-    iters_per_s = time_admm(TARGET_SHAPE, n_iter=20)
+    iters_per_s = time_admm(TARGET_SHAPE, n_iter=100)
     print(f"ADMM it/s at 12MP gray: {iters_per_s:.2f}", file=sys.stderr)
 
     print(

@@ -35,7 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.fft_conv import FFTConvolver
+from ..ops.fft_conv import FFTConvolver, filtered_synthesis
 from ..ops.tv import finite_diff, finite_diff_adj, finite_diff_gram_spectrum, soft_thresh
 
 
@@ -132,8 +132,7 @@ def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMPar
         + finite_diff_adj(mu2 * U - state.eta)
         + conv.deconvolve(mu1 * X - state.xi)
     )
-    freq = pre.R_divmat * jnp.fft.rfft2(rk, axes=(-3, -2))
-    image_est = jnp.fft.irfft2(freq, s=(ph, pw), axes=(-3, -2))
+    image_est = filtered_synthesis(rk, pre.R_divmat, (ph, pw))
 
     forward_out = conv.convolve(image_est)
     psi_out = finite_diff(image_est)
