@@ -1,0 +1,102 @@
+"""Metric properties + benchmark harness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lenslesspicam_tpu.eval import metrics as M
+from lenslesspicam_tpu.eval.benchmark import benchmark
+
+
+def test_psnr_mse_basics():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 20, 3).astype(np.float32))
+    assert float(M.mse(x, x)) == 0.0
+    assert np.all(np.asarray(M.psnr(x, x)) > 100)
+    y = jnp.clip(x + 0.1, 0, 1)
+    p1 = np.asarray(M.psnr(x, y)).mean()
+    z = jnp.clip(x + 0.3, 0, 1)
+    p2 = np.asarray(M.psnr(x, z)).mean()
+    assert p1 > p2
+
+
+def test_ssim_properties():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    s_same = np.asarray(M.ssim(x, x))
+    assert np.allclose(s_same, 1.0, atol=1e-3)
+    noise = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    s_noise = np.asarray(M.ssim(x, noise))
+    assert np.all(s_noise < 0.9)
+    # symmetry
+    a = np.asarray(M.ssim(x, noise))
+    b = np.asarray(M.ssim(noise, x))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_ssim_uniform_shift():
+    """SSIM of x vs x+c should be < 1 but high for small c."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 32, 32, 1).astype(np.float32) * 0.5)
+    y = x + 0.05
+    s = float(np.asarray(M.ssim(x, y)).mean())
+    assert 0.5 < s < 1.0
+
+
+def test_max_normalize():
+    x = jnp.asarray(np.array([[[[2.0], [4.0]], [[1.0], [0.5]]]]))
+    out = np.asarray(M.max_normalize(x))
+    assert out.max() == 1.0
+
+
+def test_benchmark_harness():
+    rng = np.random.RandomState(3)
+    psf = rng.rand(1, 24, 32, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+
+    from lenslesspicam_tpu.recon import admm
+
+    conv = admm.make_convolver(psf)
+
+    def reconstruct(lensless):
+        return admm.run_jit(conv, lensless, n_iter=5)
+
+    batches = [
+        {
+            "lensless": rng.rand(2, 1, 24, 32, 3).astype(np.float32),
+            "lensed": rng.rand(2, 1, 24, 32, 3).astype(np.float32),
+        }
+        for _ in range(2)
+    ]
+    res = benchmark(reconstruct, batches)
+    assert set(res) == {"MSE", "PSNR", "SSIM"}
+    assert all(np.isfinite(v) for v in res.values())
+
+
+def test_shot_noise():
+    from lenslesspicam_tpu.ops.noise import add_shot_noise
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(8, 16, 16, 3).astype(np.float32))
+    noisy = add_shot_noise(x, 10.0, jax.random.PRNGKey(0))
+    assert noisy.shape == x.shape
+    assert float(jnp.min(noisy)) >= 0
+    err = float(jnp.mean((noisy - x) ** 2))
+    sig = float(jnp.mean(x**2))
+    snr_est = 10 * np.log10(sig / err)
+    assert 7 < snr_est < 13  # target 10 dB
+
+
+def test_lpips_plumbing():
+    from lenslesspicam_tpu.eval.lpips import LPIPS, random_params
+
+    params = random_params(jax.random.PRNGKey(0))
+    model = LPIPS()
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    d_ab = model.apply(params, a, b)
+    d_aa = model.apply(params, a, a)
+    assert d_ab.shape == (2,)
+    assert np.all(np.asarray(d_aa) < 1e-5)
+    assert np.all(np.asarray(d_ab) > np.asarray(d_aa))
