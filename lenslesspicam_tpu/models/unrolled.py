@@ -73,7 +73,8 @@ class UnrolledADMM(nn.Module):
         return vec("mu1", self.mu1), vec("mu2", self.mu2), vec("mu3", self.mu3), vec("tau", self.tau)
 
     @nn.compact
-    def __call__(self, conv: FFTConvolver, data: jax.Array) -> jax.Array:
+    def __call__(self, conv: FFTConvolver, data: jax.Array, psf=None,
+                 return_intermediates: bool = False):
         mu1s, mu2s, mu3s, taus = self._schedules()
         data = _promote_batch(data)
         dtype = data.dtype
@@ -119,11 +120,17 @@ class UnrolledADMM(nn.Module):
                 forward_out=forward_out,
                 psi_out=psi_out,
             )
-            return s_new, None
+            out = jnp.clip(conv.crop(image), 0.0, None) if return_intermediates else None
+            return s_new, out
 
         step_fn = jax.checkpoint(step) if self.remat else step
-        state, _ = jax.lax.scan(step_fn, state, (mu1s, mu2s, mu3s, taus))
-        return jnp.clip(conv.crop(state["image"]), 0.0, None)
+        state, inters = jax.lax.scan(step_fn, state, (mu1s, mu2s, mu3s, taus))
+        final = jnp.clip(conv.crop(state["image"]), 0.0, None)
+        if return_intermediates:
+            # per-iteration cropped estimates, excluding the last
+            # (recon.py:575-578 collects i < n_iter - 1)
+            return final, [inters[i] for i in range(self.n_iter - 1)]
+        return final
 
 
 class UnrolledFISTA(nn.Module):
@@ -144,7 +151,8 @@ class UnrolledFISTA(nn.Module):
                                      pad_policy=pad_policy)
 
     @nn.compact
-    def __call__(self, conv: FFTConvolver, data: jax.Array, psf: jax.Array) -> jax.Array:
+    def __call__(self, conv: FFTConvolver, data: jax.Array, psf: jax.Array,
+                 return_intermediates: bool = False):
         data = _promote_batch(data)
         dtype = data.dtype
         batch = data.shape[0]
@@ -181,10 +189,13 @@ class UnrolledFISTA(nn.Module):
             im = im - a * grad
             xk_new = self.proj(im)
             im = xk_new + (tk_i - 1.0) / tk_ip1 * (xk_new - xk)
-            return (im, xk_new), None
+            out = self.proj(im) if return_intermediates else None
+            return (im, xk_new), out
 
         step_fn = jax.checkpoint(step) if self.remat else step
-        (image, _), _ = jax.lax.scan(
+        (image, _), inters = jax.lax.scan(
             step_fn, (image, image), (alpha, tk_seq[:-1], tk_seq[1:])
         )
+        if return_intermediates:
+            return self.proj(image), [inters[i] for i in range(self.n_iter - 1)]
         return self.proj(image)
