@@ -1,0 +1,89 @@
+"""Trainer: end-to-end training on a synthetic problem, schedules,
+aux losses, checkpointing."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lenslesspicam_tpu.models.trainable_recon import TrainableRecon
+from lenslesspicam_tpu.models.unrolled import UnrolledADMM
+from lenslesspicam_tpu.models.unet import UNetRes
+from lenslesspicam_tpu.train.trainer import Trainer, TrainerConfig, make_lr_schedule
+
+
+def _setup(n_batches=3, batch=2, shape=(1, 24, 32, 3), seed=0):
+    rng = np.random.RandomState(seed)
+    psf = rng.rand(*shape).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+
+    # simulate measurements through the forward model so training has signal
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+
+    conv = FFTConvolver.from_psf(psf, pad=True, norm="backward")
+    batches = []
+    for _ in range(n_batches):
+        lensed = rng.rand(batch, *shape).astype(np.float32)
+        lensless = np.asarray(conv.convolve(jnp.asarray(lensed)))
+        batches.append({"lensless": lensless.astype(np.float32), "lensed": lensed})
+    return psf, batches
+
+
+def test_trainer_loss_decreases(tmp_path):
+    psf, batches = _setup()
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=3))
+    cfg = TrainerConfig(epochs=3, lr=1e-2, optimizer="Adam",
+                        save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    log = trainer.train(verbose=False)
+    losses = [log[e]["loss"] for e in range(1, 4)]
+    assert losses[-1] < losses[0] * 1.5  # moving, not exploding
+    assert all(np.isfinite(v) for v in losses)
+    assert (tmp_path / "ckpt" / "metrics.json").exists()
+    assert (tmp_path / "ckpt" / "recon_epochBEST").exists()
+
+
+def test_trainer_aux_losses():
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(
+        camera_inversion=UnrolledADMM(n_iter=2),
+        pre_process=UNetRes(out_nc=3, nc=(4, 8, 16, 16), nb=1),
+        post_process=UNetRes(out_nc=3, nc=(4, 8, 16, 16), nb=1),
+        return_intermediate=True,
+    )
+    cfg = TrainerConfig(epochs=1, lr=1e-3, unrolled_output_factor=1.0, pre_proc_aux=0.5)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+
+
+def test_trainer_adamw_skip_nan():
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=1, optimizer="AdamW", skip_nan=True, lr=1e-3)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+
+
+@pytest.mark.parametrize("kwargs,checks", [
+    (dict(slow_start=0.1), [(0, 0.1), (1, 0.1**0.5), (5, 1.0)]),
+    (dict(final_lr=1e-5, lr=1e-3, epochs=11), [(0, 1.0), (10, 0.01)]),
+    (dict(exp_decay=0.9), [(0, 1.0), (2, 0.81)]),
+    (dict(step=2, gamma=0.1), [(0, 1.0), (2, 0.1), (4, 0.01)]),
+])
+def test_lr_schedules(kwargs, checks):
+    lr = kwargs.pop("lr", 1e-3)
+    epochs = kwargs.pop("epochs", 10)
+    cfg = TrainerConfig(lr=lr, epochs=epochs, **kwargs)
+    sched = make_lr_schedule(cfg, steps_per_epoch=1)
+    for epoch, mult in checks:
+        np.testing.assert_allclose(float(sched(epoch)), lr * mult, rtol=1e-5)
+
+
+def test_cosine_warmup_schedule():
+    cfg = TrainerConfig(lr=1e-3, epochs=100, cosine_decay_warmup=True)
+    sched = make_lr_schedule(cfg, steps_per_epoch=1)
+    vals = [float(sched(e)) for e in (0, 5, 50, 99)]
+    assert vals[0] < vals[1]  # warmup rising
+    assert vals[1] > vals[2] > vals[3]  # cosine decay
