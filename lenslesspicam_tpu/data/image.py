@@ -79,12 +79,12 @@ def rgb2gray(rgb, weights=None, keepchanneldim=True):
 
 
 def gamma_correction(vals, gamma=2.2):
-    """Rec. 709 gamma curve (image.py:225-248)."""
-    vals = np.clip(vals, a_min=0.0, a_max=1.0)
-    linear_region = vals < 0.0031308
-    lin = 12.92 * vals
-    exp = 1.055 * np.power(vals, 1 / gamma) - 0.055
-    return np.where(linear_region, lin, exp)
+    """Rec. 709 gamma curve (image.py:225-248): linear below cc=0.018
+    with matched slope, ``1.099 v^(1/gamma) - 0.099`` above."""
+    cc = 0.018
+    inv_gam = 1 / gamma
+    clip_val = (1.099 * np.power(cc, inv_gam) - 0.099) / cc
+    return np.where(vals < cc, vals * clip_val, 1.099 * np.power(vals, inv_gam) - 0.099)
 
 
 def get_max_val(img, nbits=None):

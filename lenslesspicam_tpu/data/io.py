@@ -95,7 +95,12 @@ def load_image(
         img = np.fliplr(img)
 
     if bg is not None:
-        img = img.astype(np.float32) - np.asarray(bg)
+        bg = np.asarray(bg)
+        # float (normalized) background + integer image: rescale to the
+        # image's bit-depth max before subtracting (io.py:149-155)
+        if bg.max() <= 1 and img.dtype not in (np.float32, np.float64):
+            bg = bg * get_max_val(img)
+        img = img.astype(np.float32) - bg
         img = np.clip(img, a_min=0, a_max=img.max())
 
     if as_4d:
