@@ -30,3 +30,40 @@ def reference_available():
 def add_reference_to_path():
     if REFERENCE_PATH not in sys.path:
         sys.path.append(REFERENCE_PATH)
+
+
+def stub_reference_mask_deps():
+    """Stub the reference mask.py's optional deps (perlin_numpy, sympy,
+    waveprop) so pattern-generation code paths import; propagation paths
+    are NOT stubbed faithfully — only use for pattern golden tests."""
+    import types
+
+    import numpy as np
+
+    if "perlin_numpy" not in sys.modules:
+        from lenslesspicam_tpu.hardware.mask import perlin_noise_2d
+
+        mod = types.ModuleType("perlin_numpy")
+        mod.generate_perlin_noise_2d = lambda shape, res: perlin_noise_2d(shape, res)
+        sys.modules["perlin_numpy"] = mod
+    try:
+        import sympy  # noqa: F401
+    except ImportError:
+        from lenslesspicam_tpu.hardware.mask import quadratic_residues
+
+        sympy = types.ModuleType("sympy")
+        ntheory = types.ModuleType("sympy.ntheory")
+        ntheory.quadratic_residues = quadratic_residues
+        sympy.ntheory = ntheory
+        sys.modules["sympy"] = sympy
+        sys.modules["sympy.ntheory"] = ntheory
+    if "waveprop" not in sys.modules:
+        waveprop = types.ModuleType("waveprop")
+        sys.modules["waveprop"] = waveprop
+        for sub in ("fresnel", "rs", "noise", "simulation", "slm", "spherical", "devices"):
+            m = types.ModuleType(f"waveprop.{sub}")
+            sys.modules[f"waveprop.{sub}"] = m
+            setattr(waveprop, sub, m)
+        waveprop.fresnel.fresnel_conv = None
+        waveprop.rs.angular_spectrum = None
+        waveprop.noise.add_shot_noise = None
