@@ -172,6 +172,67 @@ def run(
     return form_image(state, conv)
 
 
+def run_pnp(
+    conv: FFTConvolver,
+    data,
+    denoiser,
+    params: ADMMParams = ADMMParams(),
+    n_iter: int = 100,
+    noise_level: float = 10.0,
+    use_dual: bool = False,
+    initial_est=None,
+) -> jax.Array:
+    """Plug-and-play ADMM: the TV prox is replaced by a denoiser
+    (admm.py:232-247,265-275,302-308).
+
+    ``denoiser(image, noise_level) -> image`` operates on the padded
+    grid (B, D, Ph, Pw, C).  With ``use_dual`` the denoiser consumes
+    ``U + eta/mu2`` and the eta dual is tracked; otherwise it denoises
+    the current image estimate directly and eta stays zero.
+    """
+    mu1, mu2, mu3 = params.mu1, params.mu2, params.mu3
+    pre = precompute(conv, data, params)
+    batch = pre.data_pad.shape[0]
+    dtype = conv.H.real.dtype
+    shape = (batch,) + conv.padded_shape
+    ph, pw = conv.padded_spatial_shape
+
+    # in PnP, U/eta are image-shaped (PsiT = identity, admm.py:133)
+    if initial_est is not None:
+        image = jnp.broadcast_to(jnp.asarray(initial_est, dtype), shape)
+    else:
+        image = jnp.zeros(shape, dtype)
+    zeros = jnp.zeros(shape, dtype)
+    state = dict(image=image, X=zeros, U=zeros, W=zeros,
+                 xi=zeros, eta=zeros, rho=zeros,
+                 forward_out=conv.convolve(image) if initial_est is not None else zeros)
+
+    def body(_, s):
+        if use_dual:
+            U = denoiser(s["U"] + s["eta"] / mu2, noise_level)
+        else:
+            U = denoiser(s["image"], noise_level)
+        X = pre.X_divmat * (s["xi"] + mu1 * s["forward_out"] + pre.data_pad)
+        W = jnp.maximum(s["rho"] / mu3 + s["image"], 0.0)
+        if use_dual:
+            rk = (mu3 * W - s["rho"]) + (mu2 * U - s["eta"]) \
+                + conv.deconvolve(mu1 * X - s["xi"])
+        else:
+            rk = (mu3 * W - s["rho"]) + mu2 * U \
+                + conv.deconvolve(mu1 * X - s["xi"])
+        image = filtered_synthesis(rk, pre.R_divmat, (ph, pw))
+        forward_out = conv.convolve(image)
+        eta = s["eta"] + mu2 * (image - U) if use_dual else s["eta"]
+        return dict(image=image, X=X, U=U, W=W,
+                    xi=s["xi"] + mu1 * (forward_out - X),
+                    eta=eta,
+                    rho=s["rho"] + mu3 * (image - W),
+                    forward_out=forward_out)
+
+    state = jax.lax.fori_loop(0, n_iter, body, state)
+    return jnp.maximum(conv.crop(state["image"]), 0.0)
+
+
 def run_jit(conv, data, params=ADMMParams(), n_iter=100, initial_est=None):
     """jit-compiled entry; n_iter stays dynamic (no recompiles across sweeps)."""
     return _run_jit(conv, data, params, jnp.asarray(n_iter), initial_est)
