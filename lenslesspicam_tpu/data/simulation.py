@@ -143,7 +143,10 @@ class FarFieldSimulator:
         """Simulate the measurement for an HWC (or DHWC) object image
         (simulation.py:143-167)."""
         assert obj.shape[-1] in (1, 3), "image must have 1 or 3 channels"
-        obj_plane = self._object_plane(np.asarray(obj, np.float32), key)
+        obj = np.asarray(obj, np.float32)
+        if self.psf is not None and self.psf.shape[-1] == 3 and obj.shape[-1] == 1:
+            obj = np.repeat(obj, 3, axis=-1)  # grayscale object, RGB PSF
+        obj_plane = self._object_plane(obj, key)
 
         if self.conv is None:
             return (obj_plane, obj_plane) if return_object_plane else obj_plane
