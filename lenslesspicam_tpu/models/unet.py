@@ -40,9 +40,9 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        r = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False)(x)
+        r = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False, name="conv1")(x)
         r = nn.relu(r)
-        r = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False)(r)
+        r = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False, name="conv2")(r)
         return x + r
 
 
@@ -55,13 +55,14 @@ class _Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         nc = self.nc
-        x1 = nn.Conv(nc[0], (3, 3), padding=1, use_bias=False)(x)
+        x1 = nn.Conv(nc[0], (3, 3), padding=1, use_bias=False, name="head")(x)
         h = x1
         feats = [x1]
         for scale in range(3):
-            for _ in range(self.nb):
-                h = ResBlock(nc[scale])(h)
-            h = nn.Conv(nc[scale + 1], (2, 2), strides=(2, 2), padding=0, use_bias=False)(h)
+            for j in range(self.nb):
+                h = ResBlock(nc[scale], name=f"down{scale}_res{j}")(h)
+            h = nn.Conv(nc[scale + 1], (2, 2), strides=(2, 2), padding=0,
+                        use_bias=False, name=f"down{scale}_conv")(h)
             feats.append(h)
         return feats  # [x1, x2, x3, x4]
 
@@ -104,17 +105,18 @@ class UNetRes(nn.Module):
             )
 
         h = latent
-        for _ in range(self.nb):
-            h = ResBlock(nc[3])(h)
+        for j in range(self.nb):
+            h = ResBlock(nc[3], name=f"body_res{j}")(h)
 
         # m_up3(x + x4), m_up2(x + x3), m_up1(x + x2), m_tail(x + x1)
         for scale, skip in ((2, x4), (1, x3), (0, x2)):
             h = nn.ConvTranspose(nc[scale], (2, 2), strides=(2, 2), padding="VALID",
-                                 use_bias=False)(h + skip)
-            for _ in range(self.nb):
-                h = ResBlock(nc[scale])(h)
+                                 use_bias=False, name=f"up{scale}_conv")(h + skip)
+            for j in range(self.nb):
+                h = ResBlock(nc[scale], name=f"up{scale}_res{j}")(h)
 
-        return nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=False)(h + x1)
+        return nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=False,
+                       name="tail")(h + x1)
 
 
 class UNet(nn.Module):

@@ -32,6 +32,34 @@ def add_reference_to_path():
         sys.path.append(REFERENCE_PATH)
 
 
+def stub_torchvision():
+    """Minimal torchvision stub (resize/rotate) for reference modules."""
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    import torch
+
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    def _resize(img, size, **kwargs):
+        return torch.nn.functional.interpolate(
+            img if img.ndim == 4 else img[None], size=tuple(size),
+            mode="bilinear", align_corners=False,
+        ) if img.ndim == 4 else torch.nn.functional.interpolate(
+            img[None], size=tuple(size), mode="bilinear", align_corners=False
+        )[0]
+
+    functional.resize = _resize
+    transforms.functional = functional
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
 def stub_reference_mask_deps():
     """Stub the reference mask.py's optional deps (perlin_numpy, sympy,
     waveprop) so pattern-generation code paths import; propagation paths
