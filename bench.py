@@ -16,6 +16,7 @@ runtime failures on experimental TPU runtimes).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -37,7 +38,7 @@ def _setup_jax():
 
         if os.environ.get("JAX_PLATFORMS", "") == "axon":
             jax.config.update("jax_platforms", "axon,cpu")
-        jax.config.update("jax_compilation_cache_dir", "/tmp/lpt_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
@@ -74,7 +75,7 @@ def verify(jax):
         print("verify: cpu backend unavailable, finite check only", file=sys.stderr)
 
 
-def time_admm(shape, n_iter, base_iter=2, repeats=5, attempts=3):
+def time_admm(shape, n_iter, base_iter=2, repeats=3, attempts=3):
     """it/s via the difference method: per-call overhead cancels between
     a base_iter run and an n_iter run."""
     import jax.numpy as jnp
@@ -120,16 +121,19 @@ def time_admm(shape, n_iter, base_iter=2, repeats=5, attempts=3):
 
 
 def main():
+    import os
+
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     verify(jax)
 
-    small = time_admm((270, 480), n_iter=100)
-    print(
-        f"ADMM it/s at 270x480 gray: {small:.1f} "
-        f"(reference A5000: {REF_A5000_ITERS_PER_S:.0f})",
-        file=sys.stderr,
-    )
+    if os.environ.get("BENCH_SMALL"):
+        small = time_admm((270, 480), n_iter=100)
+        print(
+            f"ADMM it/s at 270x480 gray: {small:.1f} "
+            f"(reference A5000: {REF_A5000_ITERS_PER_S:.0f})",
+            file=sys.stderr,
+        )
 
     iters_per_s = time_admm(TARGET_SHAPE, n_iter=50)
     print(f"ADMM it/s at 12MP gray: {iters_per_s:.2f}", file=sys.stderr)

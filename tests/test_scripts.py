@@ -1,0 +1,113 @@
+"""CLI scripts end-to-end on tiny synthetic inputs + config system."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import cv2
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def _make_inputs(tmp_path):
+    rng = np.random.RandomState(0)
+    psf = (rng.rand(64, 96, 3) * 200 + 20).astype(np.uint8)
+    data = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+    psf_fp = str(tmp_path / "psf.png")
+    data_fp = str(tmp_path / "data.png")
+    cv2.imwrite(psf_fp, psf)
+    cv2.imwrite(data_fp, data)
+    return psf_fp, data_fp
+
+
+def _run(args, cwd):
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=ENV,
+                          capture_output=True, text=True, timeout=600)
+
+
+def test_config_system(tmp_path):
+    from lenslesspicam_tpu.utils.config import load_config, parse_overrides
+
+    cfg_fp = tmp_path / "c.yaml"
+    cfg_fp.write_text("a:\n  b: 1\n  c: [1, 2]\nd: hello\n")
+    ov = parse_overrides(["a.b=5", "d=world", "e.f=2.5"])
+    cfg = load_config(str(cfg_fp), ov)
+    assert cfg.a.b == 5
+    assert cfg.a.c == [1, 2]
+    assert cfg.d == "world"
+    assert cfg.e.f == 2.5
+
+
+def test_admm_script(tmp_path):
+    psf_fp, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/recon/admm.py", f"input.psf={psf_fp}", f"input.data={data_fp}",
+         "preprocess.downsample=2", "admm.n_iter=5",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "recon" in res.stdout
+
+
+def test_gd_script(tmp_path):
+    psf_fp, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/recon/gradient_descent.py", f"input.psf={psf_fp}",
+         f"input.data={data_fp}", "preprocess.downsample=2",
+         "gradient_descent.n_iter=5", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_apgd_script(tmp_path):
+    psf_fp, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/recon/apgd.py", f"input.psf={psf_fp}", f"input.data={data_fp}",
+         "preprocess.downsample=2", "apgd.n_iter=5", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_benchmark_script(tmp_path):
+    res = _run(
+        ["scripts/eval/benchmark_recon.py", "n_files=4", "batchsize=2",
+         "algorithms=[ADMM,FISTA]", "n_iter_range=[2,5]",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    results = None
+    for root, _, files in os.walk(f"{tmp_path}/out"):
+        if "results.json" in files:
+            with open(os.path.join(root, "results.json")) as f:
+                results = json.load(f)
+    assert results and "ADMM" in results["results"]
+
+
+def test_train_script(tmp_path):
+    res = _run(
+        ["scripts/recon/train_learning_based.py", "dataset.n_files=8",
+         "dataset.batch_size=2", "training.epoch=1",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "best" in res.stdout
+
+
+def test_simulate_script(tmp_path):
+    res = _run(
+        ["scripts/sim/simulate_dataset.py", "n_files=3",
+         f"output_dir={tmp_path}/out", "mask.type=FresnelZoneAperture",
+         "mask.downsample=16"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "saved 3 pairs" in res.stdout
