@@ -19,3 +19,29 @@ from .recon.base import (  # noqa: F401
     FISTA,
     apply_admm,
 )
+from .recon.apgd import APGDPriors  # noqa: F401
+from .recon.tikhonov import CodedApertureReconstruction  # noqa: F401
+from .hardware.sensor import SensorOptions, VirtualSensor, sensor_dict  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy exports for the heavier (flax) model layer, mirroring the
+    reference's torch-gated re-exports (lensless/__init__.py:16-44)."""
+    lazy = {
+        "TrainableRecon": ("models.trainable_recon", "TrainableRecon"),
+        "TrainableReconstructionAlgorithm": ("models.trainable_recon", "TrainableRecon"),
+        "UnrolledADMM": ("models.unrolled", "UnrolledADMM"),
+        "UnrolledFISTA": ("models.unrolled", "UnrolledFISTA"),
+        "TrainableInversion": ("models.inversion", "TrainableInversion"),
+        "SVDeconvNet": ("models.inversion", "SVDeconvNet"),
+        "MultiWiener": ("models.multi_wiener", "MultiWiener"),
+        "UNetRes": ("models.unet", "UNetRes"),
+        "Restormer": ("models.restormer", "Restormer"),
+        "APGD": ("recon.apgd", "run"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(f".{module}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

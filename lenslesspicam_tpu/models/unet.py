@@ -166,3 +166,22 @@ def drunet_denoise(model: UNetRes, params, image: jax.Array, noise_level: float 
     nl = jnp.broadcast_to(jnp.asarray(noise_level, x.dtype) / 255.0, x.shape[:-1] + (1,))
     out = model.apply(params, jnp.concatenate([x, nl], axis=-1))
     return crop_from_multiple(out, hw)
+
+
+def load_drunet(path, nc=(64, 128, 256, 512), nb=4):
+    """Load a pretrained DruNet color denoiser from a DPIR torch
+    checkpoint (recon/utils.py:191-244 analog; the 130 MB
+    drunet_color.pth must be downloaded separately — no egress here).
+
+    Returns (UNetRes model, flax variables); use with drunet_denoise.
+    """
+    import torch
+
+    from ..zoo.convert import torch_unetres_to_flax
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    variables = torch_unetres_to_flax(sd, nb=nb)
+    model = UNetRes(out_nc=3, nc=tuple(nc), nb=nb)
+    return model, variables

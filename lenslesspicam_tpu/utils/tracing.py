@@ -1,0 +1,84 @@
+"""Profiling and tracing utilities.
+
+The reference has only wall-clock profile scripts (profile/*.py, SURVEY
+§5.1).  Here profiling is first-class:
+
+* ``trace(log_dir)`` — context manager around ``jax.profiler`` traces
+  (view in TensorBoard / Perfetto);
+* ``time_fn`` — compile-aware wall-clock timing of a jit function
+  (difference method to cancel per-call overhead);
+* ``roofline_report`` — bandwidth-bound roofline accounting for the
+  ADMM iteration: bytes moved per iteration vs achieved it/s -> fraction
+  of speed-of-light HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/lpt_trace"):
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(fn, *args, repeats: int = 5, **kwargs) -> float:
+    """Best wall-clock seconds over repeats (post-compile)."""
+    import jax
+
+    out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args, **kwargs))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def admm_bytes_per_iter(padded_shape, channels=1, dtype_bytes=4) -> int:
+    """HBM traffic estimate for one ADMM iteration on the padded grid.
+
+    Counts reads+writes of the state arrays across the fused update
+    chains and the 6 rFFT/irFFT passes (each FFT ~ 2x grid traffic for
+    the real side + 1x for the half-complex side).
+    """
+    d, ph, pw = padded_shape[0], padded_shape[1], padded_shape[2]
+    grid = d * ph * pw * channels * dtype_bytes
+    half = grid  # complex64 half-spectrum ~ same bytes as real grid
+    # elementwise: U/X/W/image/dual updates touch ~22 grid-sized arrays
+    elementwise = 22 * grid
+    # 6 FFTs: input + output each
+    ffts = 6 * (grid + half)
+    return elementwise + ffts
+
+
+def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
+                    hbm_bw=8.2e11) -> dict:
+    """Fraction of speed-of-light HBM bandwidth achieved by ADMM.
+
+    hbm_bw defaults to TPU v5e (~820 GB/s).
+    """
+    from ..ops.padding import padded_size
+
+    ph = padded_size(shape[0])
+    pw = padded_size(shape[1])
+    bytes_per_iter = admm_bytes_per_iter((1, ph, pw), channels)
+    out = {
+        "padded_shape": (ph, pw),
+        "bytes_per_iter": bytes_per_iter,
+        "sol_iters_per_s": hbm_bw / bytes_per_iter,
+    }
+    if iters_per_s is not None:
+        out["achieved_iters_per_s"] = iters_per_s
+        out["fraction_of_sol"] = iters_per_s / out["sol_iters_per_s"]
+    return out
