@@ -505,3 +505,96 @@ def simulate_dataset(config: dict, psf=None):
         quantize=config.get("quantize", False),
     )
     return SimulatedFarFieldDataset(images, sim)
+
+
+class DiffuserCamMirflickr(MeasuredDataset):
+    """Measured DiffuserCam-MirFlickr dataset from local folders
+    (dataset.py:820-894): BGR->RGB swap, PSF at 4x downsample, allowed
+    indices 2..25000."""
+
+    def __init__(self, dataset_dir, psf_path, downsample=2, **kwargs):
+        super().__init__(
+            dataset_dir, lensless_dir="diffuser_images",
+            lensed_dir="ground_truth_lensed", image_ext="npy",
+            downsample=downsample, **kwargs,
+        )
+        from .io import load_psf
+
+        self.psf = load_psf(psf_path, downsample=4)
+        self.allowed_idx = np.arange(2, 25001)
+
+    def _get_images_pair(self, idx):
+        lensless, lensed = super()._get_images_pair(idx)
+        return lensless[..., ::-1], lensed[..., ::-1]  # BGR -> RGB
+
+
+class DiffuserCamTestDataset(MeasuredDataset):
+    """The standard 200-file DiffuserCam benchmark subset
+    (dataset.py:897-977).  Download it once (no network egress here):
+    https://github.com/LCAV/LenslessPiCam docs point to the hosted copy.
+    """
+
+    def __init__(self, data_dir, downsample=2, **kwargs):
+        psf_path = os.path.join(data_dir, "psf.tiff")
+        super().__init__(
+            data_dir, lensless_dir="diffuser", lensed_dir="lensed",
+            image_ext="npy", psf_path=psf_path if os.path.isfile(psf_path) else None,
+            downsample=downsample, **kwargs,
+        )
+
+
+class HITLDatasetTrainableMask(DualDataset):
+    """Hardware-in-the-loop dataset (dataset.py:1034-1121): every
+    __getitem__ programs the current learned mask on the device,
+    displays the lensed image, and captures a real measurement over
+    SSH.  Gated on paramiko; compute-side code paths (mask值 -> pattern
+    conversion) are exercised without hardware via ``simulate=True``.
+    """
+
+    def __init__(self, mask, base_dataset, rpi_username=None,
+                 rpi_hostname=None, celeba_root=None, simulate=False,
+                 display_kwargs=None, capture_kwargs=None, **kwargs):
+        super().__init__(**kwargs)
+        self.mask = mask
+        self.base = base_dataset
+        self.rpi_username = rpi_username
+        self.rpi_hostname = rpi_hostname
+        self.simulate = simulate
+        self.display_kwargs = display_kwargs or {}
+        self.capture_kwargs = capture_kwargs or {}
+
+    def __len__(self):
+        return len(self.base)
+
+    def _get_images_pair(self, idx):
+        lensed = np.asarray(self.base[idx], np.float32)
+        if lensed.ndim == 2:
+            lensed = lensed[:, :, None]
+
+        psf = np.asarray(self.mask.get_psf(self.mask.params))
+        if self.simulate:
+            from ..ops.fft_conv import FFTConvolver
+            import jax.numpy as jnp
+
+            conv = FFTConvolver.from_psf(psf, pad=True, norm="backward")
+            canvas = np.zeros(psf.shape[1:], np.float32)
+            h = min(lensed.shape[0], canvas.shape[0])
+            w = min(lensed.shape[1], canvas.shape[1])
+            canvas[:h, :w, :] = lensed[:h, :w, : canvas.shape[-1]]
+            lensless = np.asarray(conv.convolve(jnp.asarray(canvas[None])))[0]
+            return lensless, canvas
+
+        from ..hardware import remote
+        from .io import load_image, save_image
+
+        tmp_fp = "/tmp/hitl_display.png"
+        save_image(lensed, tmp_fp)
+        remote.display(tmp_fp, self.rpi_username, self.rpi_hostname,
+                       **self.display_kwargs)
+        pattern = np.asarray(self.mask.params.get("vals"))
+        remote.set_programmable_mask(pattern, rpi_username=self.rpi_username,
+                                     rpi_hostname=self.rpi_hostname)
+        fp = remote.capture(self.rpi_username, self.rpi_hostname,
+                            localdir="/tmp", **self.capture_kwargs)
+        lensless = load_image(fp, return_float=True)
+        return lensless, lensed

@@ -100,3 +100,34 @@ def test_lpips_plumbing():
     assert d_ab.shape == (2,)
     assert np.all(np.asarray(d_aa) < 1e-5)
     assert np.all(np.asarray(d_ab) > np.asarray(d_aa))
+
+
+def test_parameterize_perturb():
+    """P&P test-time adaptation: params move, loss improves."""
+    from lenslesspicam_tpu.eval.pnp import parameterize_perturb
+    from lenslesspicam_tpu.models.unrolled import UnrolledADMM
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+
+    rng = np.random.RandomState(0)
+    psf = rng.rand(1, 24, 32, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    model = UnrolledADMM(n_iter=2)
+    conv = UnrolledADMM.make_convolver(psf)
+    fwd = FFTConvolver.from_psf(psf, pad=True, norm="backward")
+
+    lensed = jnp.asarray(rng.rand(1, 1, 24, 32, 3).astype(np.float32))
+    lensless = fwd.convolve(lensed)
+    lensless = lensless / jnp.max(lensless)
+
+    params0 = model.init(jax.random.PRNGKey(0), conv, lensless)
+    pred, adapted = parameterize_perturb(
+        lambda p, d: model.apply(p, conv, d), params0, fwd, lensless,
+        mu=1e-4, lr=1e-2, n_iter=10,
+    )
+    assert pred.shape == lensless.shape
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(adapted),
+                        jax.tree_util.tree_leaves(params0))
+    )
+    assert moved
