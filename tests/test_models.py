@@ -160,3 +160,18 @@ def test_trainable_recon_per_sample_psfs():
     params = model.init(jax.random.PRNGKey(0), data, psfs)
     out = model.apply(params, data, psfs)
     assert out.shape == data.shape
+
+
+def test_integrated_background_subtraction():
+    from lenslesspicam_tpu.models.background import IntegratedBackgroundSub
+
+    psf, data = _problem((1, 32, 40, 3))
+    bg = jnp.ones_like(data) * 0.1
+    model = TrainableRecon(
+        camera_inversion=UnrolledADMM(n_iter=2),
+        pre_process=IntegratedBackgroundSub(nc=SMALL_NC, nb=1),
+        integrated_background_subtraction=True,
+    )
+    params = model.init(jax.random.PRNGKey(0), data, psf, background=bg)
+    out = model.apply(params, data, psf, background=bg)
+    assert out.shape == data.shape
