@@ -6,17 +6,22 @@ Prints ONE JSON line:
 Baseline for vs_baseline: the reference's published RTX A5000 timing of
 2.88 ms for 5 grayscale ADMM iterations (paper/paper.md:152) at the
 DiffuserCam tutorial working resolution (1080x1920 downsampled by 4 =
-270x480 grayscale).  Scaled linearly in pixel count to the 12 MP target
-(3040x4056): 1736 it/s * (270*480)/(3040*4056) = 18.25 it/s.  FFT cost
-is O(N log N), so linear scaling slightly favors the baseline.
+270x480 grayscale).  Scaled linearly in pixel count to the target
+resolution: at 12 MP that is 1736 it/s * (270*480)/(3040*4056) =
+18.25 it/s.  FFT cost is O(N log N), so linear scaling slightly favors
+the baseline.
 
-The benchmark self-verifies before timing: a small ADMM reconstruction
-on the accelerator must match the CPU result (guards against silent
-runtime failures on experimental TPU runtimes).
+Robustness: the TPU runtime here is tunneled and can stall for minutes;
+each resolution rung therefore runs in its own subprocess with a hard
+timeout (BENCH_RUNG_TIMEOUT seconds, default 420) and the first rung
+that completes wins — larger rungs first, metric labels stay honest.
+Every rung self-verifies a small reconstruction against the CPU backend
+before timing.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,21 +29,28 @@ import numpy as np
 
 REF_A5000_ITERS_PER_S = 5 / 2.88e-3  # paper/paper.md:152
 REF_RESOLUTION = 270 * 480
-TARGET_SHAPE = (3040, 4056)  # 12 MP (Raspberry Pi HQ sensor)
-BASELINE_12MP = REF_A5000_ITERS_PER_S * REF_RESOLUTION / (
-    TARGET_SHAPE[0] * TARGET_SHAPE[1]
-)
+
+RUNGS = [
+    ((3040, 4056), "12MP"),
+    ((1520, 2028), "3MP"),
+    ((760, 1014), "0.77MP"),
+]
+
+
+def _baseline(shape):
+    return REF_A5000_ITERS_PER_S * REF_RESOLUTION / (shape[0] * shape[1])
 
 
 def _setup_jax():
     import jax
 
     try:
-        import os
-
         if os.environ.get("JAX_PLATFORMS", "") == "axon":
             jax.config.update("jax_platforms", "axon,cpu")
-        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
@@ -75,7 +87,7 @@ def verify(jax):
         print("verify: cpu backend unavailable, finite check only", file=sys.stderr)
 
 
-def time_admm(shape, n_iter, base_iter=2, repeats=3, attempts=3):
+def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     """it/s via the difference method: per-call overhead cancels between
     a base_iter run and an n_iter run."""
     import jax.numpy as jnp
@@ -90,77 +102,64 @@ def time_admm(shape, n_iter, base_iter=2, repeats=3, attempts=3):
 
     conv = admm.make_convolver(psf)
     psf = None
+    admm.run_jit(conv, data, n_iter=base_iter).block_until_ready()
 
-    for attempt in range(attempts):
-        try:
-            admm.run_jit(conv, data, n_iter=base_iter).block_until_ready()
+    def best_time(k):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            admm.run_jit(conv, data, n_iter=k).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-            def best_time(k):
-                best = float("inf")
-                for _ in range(repeats):
-                    t0 = time.perf_counter()
-                    admm.run_jit(conv, data, n_iter=k).block_until_ready()
-                    best = min(best, time.perf_counter() - t0)
-                return best
-
-            t_base = best_time(base_iter)
-            t_full = best_time(n_iter)
-            if t_full <= t_base:
-                print(
-                    f"warning: timing not scaling (t[{base_iter}]={t_base:.4f}s "
-                    f"t[{n_iter}]={t_full:.4f}s), retrying",
-                    file=sys.stderr,
-                )
-                continue
-            per_iter = (t_full - t_base) / (n_iter - base_iter)
-            return 1.0 / per_iter
-        except Exception as e:  # transient runtime/tunnel errors
-            print(f"attempt {attempt} failed: {e}", file=sys.stderr)
-            time.sleep(5)
-    raise RuntimeError("benchmark failed after retries")
+    t_base = best_time(base_iter)
+    t_full = best_time(n_iter)
+    assert t_full > t_base, f"timing not scaling: {t_base:.4f}s vs {t_full:.4f}s"
+    return (n_iter - base_iter) / (t_full - t_base)
 
 
-def main():
-    import os
-
+def run_rung(rung_idx: int):
+    """Child process: verify + measure one rung, print the JSON line."""
+    shape, label = RUNGS[rung_idx]
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     verify(jax)
-
-    if os.environ.get("BENCH_SMALL"):
-        small = time_admm((270, 480), n_iter=100)
-        print(
-            f"ADMM it/s at 270x480 gray: {small:.1f} "
-            f"(reference A5000: {REF_A5000_ITERS_PER_S:.0f})",
-            file=sys.stderr,
+    iters_per_s = time_admm(shape)
+    print(f"ADMM it/s at {label} gray: {iters_per_s:.2f}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"ADMM iterations/s/chip at {label} (grayscale)",
+                "value": round(iters_per_s, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(iters_per_s / _baseline(shape), 3),
+            }
         )
+    )
 
-    # fall back to smaller grids if the (experimental) TPU tunnel cannot
-    # sustain the 12 MP compile/run within the budget — the metric name
-    # and baseline scale are adjusted honestly.
-    ladder = [
-        (TARGET_SHAPE, "12MP", BASELINE_12MP),
-        ((1520, 2028), "3MP", BASELINE_12MP * 4),
-        ((760, 1014), "0.77MP", BASELINE_12MP * 16),
-    ]
-    for shape, label, baseline in ladder:
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--rung":
+        run_rung(int(sys.argv[2]))
+        return
+
+    timeout = int(os.environ.get("BENCH_RUNG_TIMEOUT", "420"))
+    for idx, (shape, label) in enumerate(RUNGS):
         try:
-            iters_per_s = time_admm(shape, n_iter=50)
-            print(f"ADMM it/s at {label} gray: {iters_per_s:.2f}", file=sys.stderr)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"ADMM iterations/s/chip at {label} (grayscale)",
-                        "value": round(iters_per_s, 3),
-                        "unit": "iter/s",
-                        "vs_baseline": round(iters_per_s / baseline, 3),
-                    }
-                )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--rung", str(idx)],
+                capture_output=True, text=True, timeout=timeout,
             )
+        except subprocess.TimeoutExpired:
+            print(f"{label} rung timed out after {timeout}s", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr[-2000:])
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
             return
-        except Exception as e:
-            print(f"{label} benchmark failed: {e}", file=sys.stderr)
-    raise RuntimeError("all benchmark sizes failed")
+        print(f"{label} rung failed (rc={proc.returncode})", file=sys.stderr)
+    raise RuntimeError("all benchmark rungs failed")
 
 
 if __name__ == "__main__":
