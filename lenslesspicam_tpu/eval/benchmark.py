@@ -43,16 +43,25 @@ def benchmark(
     normalize: bool = True,
     key=None,
     extra_metrics: Optional[dict] = None,
+    save_idx=None,
+    save_dir: Optional[str] = None,
 ) -> dict:
-    """Evaluate ``reconstruct(lensless) -> prediction`` over batches.
+    """Evaluate ``reconstruct(lensless, ...) -> prediction`` over batches.
 
     batches: iterable of dicts with 'lensless' and 'lensed' (B, D, H, W, C)
-    numpy/jax arrays (the data layer's loaders yield this format).
+    numpy/jax arrays (the data layer's loaders yield this format);
+    optional 'psfs' (per-sample PSFs, multimask datasets) and
+    'background' entries are forwarded to ``reconstruct`` as keyword
+    arguments when it accepts them (benchmark.py:244-245, 184-187).
     crop: optional ROI dict {'vertical': (v0, v1), 'horizontal': (h0, h1)}
     applied to both prediction and ground truth before metrics
     (benchmark.py:272-292).
+    save_idx/save_dir: sample indices whose reconstructions are written
+    as PNGs (benchmark.py:294-330).
     Returns metric name -> weighted average over all samples.
     """
+    import inspect
+
     from ..ops.noise import add_shot_noise
 
     metrics_fn = jax.jit(lambda p, t: _batch_metrics(p, t, normalize))
@@ -60,6 +69,10 @@ def benchmark(
     total = 0
     if key is None:
         key = jax.random.PRNGKey(0)
+    try:
+        accepted = set(inspect.signature(reconstruct).parameters)
+    except (TypeError, ValueError):
+        accepted = set()
 
     for batch in batches:
         lensless = jnp.asarray(batch["lensless"])
@@ -68,7 +81,20 @@ def benchmark(
             key, sub = jax.random.split(key)
             lensless = add_shot_noise(lensless, snr, sub)
 
-        pred = reconstruct(lensless)
+        kwargs = {}
+        for field in ("psfs", "background"):
+            if batch.get(field) is not None and field in accepted:
+                kwargs[field] = jnp.asarray(batch[field])
+        pred = reconstruct(lensless, **kwargs)
+
+        if save_idx is not None and save_dir is not None:
+            from ..data.io import save_image
+
+            for local_i in range(pred.shape[0]):
+                global_i = total + local_i
+                if global_i in save_idx:
+                    save_image(np.asarray(pred[local_i]),
+                               f"{save_dir}/recon_{global_i}.png")
 
         if crop is not None:
             v0, v1 = crop["vertical"]
