@@ -28,7 +28,7 @@ from __future__ import annotations
 import glob
 import os
 import re
-from typing import Callable, Iterator, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 

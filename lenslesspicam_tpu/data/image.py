@@ -67,7 +67,6 @@ def rotate_HWC(img: np.ndarray, angle: float) -> np.ndarray:
 def rgb2gray(rgb, weights=None, keepchanneldim=True):
     """Weighted channel sum (image.py:158-222); default ITU-R 601-2
     luma transform weights."""
-    xp = np
     if weights is None:
         weights = np.array([0.299, 0.587, 0.114])
     weights = np.asarray(weights, dtype=np.asarray(rgb).dtype if hasattr(rgb, "dtype") else np.float32)

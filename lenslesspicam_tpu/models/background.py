@@ -18,8 +18,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
-
 from .unet import UNetRes
 
 

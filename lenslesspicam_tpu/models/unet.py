@@ -26,7 +26,7 @@ kernels (O,I,H,W) -> (H,W,I,O); see zoo/convert.py.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ Parity notes:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,6 @@ an 8-device mesh.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ import dataclasses
 import json
 import math
 import os
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Optional
 
 model_dict = {
     "diffusercam": {
