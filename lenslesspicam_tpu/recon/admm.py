@@ -116,7 +116,14 @@ def init_state(conv: FFTConvolver, batch_size: int = 1, initial_est=None) -> ADM
 
 
 def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMParams) -> ADMMState:
-    """One ADMM iteration (admm.py:313-329)."""
+    """One ADMM iteration (admm.py:313-329).
+
+    FFT economy: the image update produces ``F_image = R_divmat *
+    rfft2(rk)`` whose irfft2 is the new image; since ``rfft2(irfft2(Y))
+    == Y`` for a valid half-spectrum, the forward convolve reuses
+    ``F_image`` directly — 5 padded-grid FFTs per iteration instead of
+    the reference's 6 (SURVEY §3.1).
+    """
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = conv.padded_spatial_shape
 
@@ -132,9 +139,10 @@ def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMPar
         + finite_diff_adj(mu2 * U - state.eta)
         + conv.deconvolve(mu1 * X - state.xi)
     )
-    image_est = filtered_synthesis(rk, pre.R_divmat, (ph, pw))
+    F_image = pre.R_divmat * jnp.fft.rfft2(rk, axes=(-3, -2))
+    image_est = jnp.fft.irfft2(F_image, s=(ph, pw), axes=(-3, -2))
 
-    forward_out = conv.convolve(image_est)
+    forward_out = jnp.fft.irfft2(F_image * conv.H, s=(ph, pw), axes=(-3, -2))
     psi_out = finite_diff(image_est)
 
     xi = state.xi + mu1 * (forward_out - X)
