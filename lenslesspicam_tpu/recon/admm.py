@@ -118,11 +118,14 @@ def init_state(conv: FFTConvolver, batch_size: int = 1, initial_est=None) -> ADM
 def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMParams) -> ADMMState:
     """One ADMM iteration (admm.py:313-329).
 
-    FFT economy: the image update produces ``F_image = R_divmat *
-    rfft2(rk)`` whose irfft2 is the new image; since ``rfft2(irfft2(Y))
-    == Y`` for a valid half-spectrum, the forward convolve reuses
-    ``F_image`` directly — 5 padded-grid FFTs per iteration instead of
-    the reference's 6 (SURVEY §3.1).
+    FFT economy — 4 padded-grid FFTs per iteration vs the reference's 6
+    (SURVEY §3.1), numerically identical by linearity:
+
+    * the deconvolve term of ``rk`` is added in the frequency domain:
+      ``F(rk) = F(spatial terms) + conj(H) * F(mu1 X - xi)`` — removes
+      the irfft2+rfft2 round trip between deconvolve and image update;
+    * the forward convolve reuses the image's spectrum: ``rfft2(irfft2(
+      F_image)) == F_image`` for a valid half-spectrum.
     """
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = conv.padded_spatial_shape
@@ -133,13 +136,13 @@ def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMPar
     X = pre.X_divmat * (state.xi + mu1 * state.forward_out + pre.data_pad)
     # W update: non-negativity (admm.py:256-263)
     W = jnp.maximum(state.rho / mu3 + state.image_est, 0.0)
-    # image update (admm.py:265-294)
-    rk = (
-        (mu3 * W - state.rho)
-        + finite_diff_adj(mu2 * U - state.eta)
-        + conv.deconvolve(mu1 * X - state.xi)
+    # image update (admm.py:265-294), deconvolve folded into the spectrum
+    rk_spatial = (mu3 * W - state.rho) + finite_diff_adj(mu2 * U - state.eta)
+    F_rk = (
+        jnp.fft.rfft2(rk_spatial, axes=(-3, -2))
+        + jnp.conj(conv.H) * jnp.fft.rfft2(mu1 * X - state.xi, axes=(-3, -2))
     )
-    F_image = pre.R_divmat * jnp.fft.rfft2(rk, axes=(-3, -2))
+    F_image = pre.R_divmat * F_rk
     image_est = jnp.fft.irfft2(F_image, s=(ph, pw), axes=(-3, -2))
 
     forward_out = jnp.fft.irfft2(F_image * conv.H, s=(ph, pw), axes=(-3, -2))
