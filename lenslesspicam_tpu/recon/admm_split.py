@@ -1,0 +1,160 @@
+"""ADMM with the split-order matmul-FFT backend (ops/pallas_fft.py).
+
+Same algebra as recon/admm.py's 4-FFT step, but every transform runs
+through the two-stage MXU matmul pipeline and all spectra (H, conj(H),
+R_divmat) live in the digit-split frequency order — no reorder
+transposes anywhere in the loop.  Built for the single-image case (the
+12 MP headline benchmark); the general batched solver remains
+recon/admm.py.
+
+Numerics: identical to admm.run up to f32 matmul accumulation error
+(verified ~1e-5 relative in tests/test_pallas_fft.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pallas_fft as pf
+from ..ops.padding import padded_size
+from ..ops.tv import soft_thresh
+from .admm import ADMMParams
+
+
+class SplitPrecomp(NamedTuple):
+    Hr: jax.Array
+    Hi: jax.Array
+    R: jax.Array        # real, split order
+    X_divmat: jax.Array  # spatial (Ph, Pw)
+    data_pad: jax.Array  # spatial (Ph, Pw)
+    psf_shape: tuple
+    padded_shape: tuple
+    start: tuple
+
+
+def precompute_split(psf2d: np.ndarray, data2d: np.ndarray,
+                     params: ADMMParams = ADMMParams()) -> SplitPrecomp:
+    """Spectra in split order for a (H, W) grayscale PSF/measurement."""
+    nh, nw = psf2d.shape
+    ph, pw = padded_size(nh), padded_size(nw)
+    assert ph % 2 == 0 and pw % 2 == 0
+    sy, sx = (ph - nh) // 2, (pw - nw) // 2
+
+    pad = np.zeros((ph, pw), np.float32)
+    pad[sy : sy + nh, sx : sx + nw] = psf2d
+    H_nat = np.fft.fft2(pad).astype(np.complex64)
+    # fold the ifftshift into the spectrum (even sizes): (-1)^(ky+kx)
+    mask = np.outer((-1.0) ** np.arange(ph), (-1.0) ** np.arange(pw)).astype(np.float32)
+    H_nat = H_nat * mask
+
+    # TV gram spectrum (ops/tv.py): |fft2(4-point laplacian)|
+    kern = np.zeros((ph, pw), np.float32)
+    kern[0, 0] = 4.0
+    kern[0, 1] = kern[0, -1] = kern[1, 0] = kern[-1, 0] = -1.0
+    psi = np.abs(np.fft.fft2(kern))
+
+    R_nat = 1.0 / (params.mu1 * np.abs(H_nat) ** 2 + params.mu2 * psi + params.mu3)
+
+    H_split = pf.spectrum_to_split(H_nat, axes=(0, 1))
+    R_split = pf.spectrum_to_split(R_nat.astype(np.float32), axes=(0, 1))
+
+    ones_pad = np.zeros((ph, pw), np.float32)
+    ones_pad[sy : sy + nh, sx : sx + nw] = 1.0
+    X_divmat = (1.0 / (ones_pad + params.mu1)).astype(np.float32)
+
+    data_pad = np.zeros((ph, pw), np.float32)
+    data_pad[sy : sy + nh, sx : sx + nw] = data2d
+
+    return SplitPrecomp(
+        Hr=jnp.asarray(np.ascontiguousarray(H_split.real)),
+        Hi=jnp.asarray(np.ascontiguousarray(H_split.imag)),
+        R=jnp.asarray(R_split),
+        X_divmat=jnp.asarray(X_divmat),
+        data_pad=jnp.asarray(data_pad),
+        psf_shape=(nh, nw),
+        padded_shape=(ph, pw),
+        start=(sy, sx),
+    )
+
+
+def _finite_diff(x):
+    return jnp.roll(x, 1, axis=0) - x, jnp.roll(x, 1, axis=1) - x
+
+
+def _finite_diff_adj(u0, u1):
+    return (jnp.roll(u0, -1, axis=0) - u0) + (jnp.roll(u1, -1, axis=1) - u1)
+
+
+def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
+              n_iter: int = 100) -> jax.Array:
+    """Grayscale single-image ADMM on the split-FFT backend; returns the
+    cropped (H, W) reconstruction."""
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+    ph, pw = pre.padded_shape
+    zeros = jnp.zeros((ph, pw), jnp.float32)
+    state = dict(
+        image=zeros, X=zeros, W=zeros, xi=zeros, rho=zeros,
+        U0=zeros, U1=zeros, eta0=zeros, eta1=zeros,
+        forward_out=zeros, psi0=zeros, psi1=zeros,
+    )
+
+    def body(_, s):
+        U0 = soft_thresh(s["psi0"] + s["eta0"] / mu2, tau / mu2)
+        U1 = soft_thresh(s["psi1"] + s["eta1"] / mu2, tau / mu2)
+        X = pre.X_divmat * (s["xi"] + mu1 * s["forward_out"] + pre.data_pad)
+        W = jnp.maximum(s["rho"] / mu3 + s["image"], 0.0)
+
+        rk_spatial = (mu3 * W - s["rho"]) + _finite_diff_adj(
+            mu2 * U0 - s["eta0"], mu2 * U1 - s["eta1"]
+        )
+        v = mu1 * X - s["xi"]
+
+        # forward transforms (split order)
+        ar, ai = pf.fft_h_split(*pf.fft_w_split(rk_spatial))
+        br, bi = pf.fft_h_split(*pf.fft_w_split(v))
+        # F_rk = A + conj(H) * B;   F_img = R * F_rk
+        fr = pre.R * (ar + pre.Hr * br + pre.Hi * bi)
+        fi = pre.R * (ai + pre.Hr * bi - pre.Hi * br)
+        image = pf.ifft_w_split(*pf.ifft_h_split(fr, fi))
+        # forward_out = ifft(H * F_img)
+        gr = pre.Hr * fr - pre.Hi * fi
+        gi = pre.Hr * fi + pre.Hi * fr
+        forward_out = pf.ifft_w_split(*pf.ifft_h_split(gr, gi))
+
+        psi0, psi1 = _finite_diff(image)
+        return dict(
+            image=image, X=X, W=W,
+            xi=s["xi"] + mu1 * (forward_out - X),
+            rho=s["rho"] + mu3 * (image - W),
+            U0=U0, U1=U1,
+            eta0=s["eta0"] + mu2 * (psi0 - U0),
+            eta1=s["eta1"] + mu2 * (psi1 - U1),
+            forward_out=forward_out, psi0=psi0, psi1=psi1,
+        )
+
+    state = jax.lax.fori_loop(0, n_iter, body, state)
+    sy, sx = pre.start
+    nh, nw = pre.psf_shape
+    return jnp.maximum(state["image"][sy : sy + nh, sx : sx + nw], 0.0)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start"))
+def _run_split_jit(Hr, Hi, R, X_divmat, data_pad, psf_shape, padded_shape,
+                   start, params, n_iter):
+    pre = SplitPrecomp(Hr, Hi, R, X_divmat, data_pad, psf_shape,
+                       padded_shape, start)
+    return run_split(pre, params, n_iter)
+
+
+def run_split_jit(pre: SplitPrecomp, params: ADMMParams = ADMMParams(), n_iter=100):
+    """jit entry; geometry tuples stay static, n_iter stays dynamic."""
+    return _run_split_jit(pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
+                          pre.psf_shape, pre.padded_shape, pre.start,
+                          params, jnp.asarray(n_iter))

@@ -60,3 +60,22 @@ def test_mxu_fft_module():
     assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
     back = np.asarray(ifft2_mxu(jnp.asarray(ours)))
     np.testing.assert_allclose(back.real, x, atol=1e-4)
+
+
+def test_admm_split_matches_standard():
+    """Split-FFT ADMM == standard ADMM (grayscale single image)."""
+    from lenslesspicam_tpu.recon import admm, admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    rng = np.random.RandomState(4)
+    psf2d = rng.rand(48, 64).astype(np.float32)
+    psf2d /= np.linalg.norm(psf2d)
+    data2d = rng.rand(48, 64).astype(np.float32)
+
+    conv = admm.make_convolver(psf2d[None, :, :, None])
+    ref = np.asarray(admm.run_jit(conv, data2d[None, None, :, :, None], n_iter=10))[0, 0, :, :, 0]
+
+    pre = admm_split.precompute_split(psf2d, data2d)
+    out = np.asarray(admm_split.run_split_jit(pre, ADMMParams(), jnp.asarray(10)))
+    scale = max(np.abs(ref).max(), 1e-9)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-4)
