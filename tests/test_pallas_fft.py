@@ -79,3 +79,23 @@ def test_admm_split_matches_standard():
     out = np.asarray(admm_split.run_split_jit(pre, ADMMParams(), jnp.asarray(10)))
     scale = max(np.abs(ref).max(), 1e-9)
     np.testing.assert_allclose(out / scale, ref / scale, atol=5e-4)
+
+
+def test_pallas_kernels_interpret():
+    """Pallas kernels (interpret mode) == the JAX split pipeline."""
+    from lenslesspicam_tpu.ops import pallas_kernels as pk
+
+    pk._set_interpret(True)
+    try:
+        rng = np.random.RandomState(5)
+        h, w = 96, 128
+        x = rng.rand(h, w).astype(np.float32)
+        kern = rng.rand(h, w).astype(np.float32)
+        Hs = pf.spectrum_to_split(np.fft.fft2(kern).astype(np.complex64), axes=(0, 1))
+        fr = jnp.asarray(np.ascontiguousarray(Hs.real))
+        fi = jnp.asarray(np.ascontiguousarray(Hs.imag))
+        out = np.asarray(pk.filtered_synthesis_pallas(jnp.asarray(x), fr, fi))
+        ref = np.real(np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(kern)))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+    finally:
+        pk._set_interpret(False)
