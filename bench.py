@@ -87,28 +87,36 @@ def verify(jax):
         print("verify: cpu backend unavailable, finite check only", file=sys.stderr)
 
 
-def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
-    """it/s via the difference method: per-call overhead cancels between
-    a base_iter run and an n_iter run."""
+def verify_split(jax):
+    """Split-FFT ADMM must match the standard solver on-device."""
     import jax.numpy as jnp
 
-    from lenslesspicam_tpu.recon import admm
+    from lenslesspicam_tpu.recon import admm, admm_split
 
-    rng = np.random.RandomState(0)
-    psf = rng.rand(1, *shape, 1).astype(np.float32)
-    psf /= np.linalg.norm(psf)
-    data = jnp.asarray(rng.rand(1, *shape, 1).astype(np.float32))
-    data.block_until_ready()
+    rng = np.random.RandomState(1)
+    psf2d = rng.rand(48, 64).astype(np.float32)
+    psf2d /= np.linalg.norm(psf2d)
+    data2d = rng.rand(48, 64).astype(np.float32)
+    conv = admm.make_convolver(psf2d[None, :, :, None])
+    ref = np.asarray(admm.run_jit(conv, data2d[None, None, :, :, None],
+                                  n_iter=10))[0, 0, :, :, 0]
+    pre = admm_split.precompute_split(psf2d, data2d)
+    out = np.asarray(admm_split.run_split_jit(pre, n_iter=10))
+    scale = max(np.abs(ref).max(), 1e-9)
+    err = float(np.abs(out - ref).max() / scale)
+    assert err < 1e-3, f"split solver diverges: {err}"
+    print(f"verify split ok (rel err: {err:.2e})", file=sys.stderr)
 
-    conv = admm.make_convolver(psf)
-    psf = None
-    admm.run_jit(conv, data, n_iter=base_iter).block_until_ready()
+
+def _timed(fn, base_iter, n_iter, repeats=3):
+    """it/s via the difference method: per-call overhead cancels."""
+    fn(base_iter)
 
     def best_time(k):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            admm.run_jit(conv, data, n_iter=k).block_until_ready()
+            fn(k)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -118,12 +126,50 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     return (n_iter - base_iter) / (t_full - t_base)
 
 
+def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
+    """Time the fastest available ADMM (split-FFT backend, standard
+    fallback) at the given grayscale resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.recon import admm, admm_split
+
+    rng = np.random.RandomState(0)
+    psf2d = rng.rand(*shape).astype(np.float32)
+    psf2d /= np.linalg.norm(psf2d)
+    data2d = rng.rand(*shape).astype(np.float32)
+
+    try:
+        pre = admm_split.precompute_split(psf2d, data2d)
+
+        @jax.jit
+        def run_sum(Hr, Hi, R, Xd, dp, n):
+            p = admm_split.SplitPrecomp(Hr, Hi, R, Xd, dp, pre.psf_shape,
+                                        pre.padded_shape, pre.start)
+            out = admm_split.run_split(p, admm_split.ADMMParams(), n)
+            return jnp.sum(out[::499, ::499])
+
+        args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad)
+        return _timed(lambda k: float(run_sum(*args, k)), base_iter, n_iter, repeats)
+    except Exception as e:
+        print(f"split backend unavailable ({e}); using standard solver",
+              file=sys.stderr)
+        conv = admm.make_convolver(psf2d[None, :, :, None])
+        data = jnp.asarray(data2d[None, None, :, :, None])
+
+        def run(k):
+            admm.run_jit(conv, data, n_iter=k).block_until_ready()
+
+        return _timed(run, base_iter, n_iter, repeats)
+
+
 def run_rung(rung_idx: int):
     """Child process: verify + measure one rung, print the JSON line."""
     shape, label = RUNGS[rung_idx]
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     verify(jax)
+    verify_split(jax)
     iters_per_s = time_admm(shape)
     print(f"ADMM it/s at {label} gray: {iters_per_s:.2f}", file=sys.stderr)
     print(
