@@ -1,0 +1,291 @@
+"""Pallas TPU FFT, pass-structured variant (VMEM-friendly blocks).
+
+The single-kernel H-axis transform of ops/pallas_kernels.py needs the
+whole 6144-row column tile in VMEM, which exceeds the 16 MB budget at
+the mandatory 128-lane block width.  This variant restructures each
+axis transform into thin passes whose blocks are small:
+
+W axis (rows, contiguous):  one kernel per direction — a (BR, W) row
+    block is VMEM-resident and the full two-stage transform happens
+    in-kernel (as in pallas_kernels.py; blocks already valid).
+
+H axis (columns): two passes over the (n1, n2, W) view of the plane
+    (h = j1 * n2 + j2):
+
+    pass A (stage 1 + twiddle):  y[k1, j2, w] = T[k1, j2] *
+        sum_j1 F1[k1, j1] x[j1, j2, w]
+        grid over (j2, w) tiles; block (n1, 8, 128) — a (n1 x n1)
+        matmul against (n1, 8*128), twiddle fused;
+    pass B (stage 2):  z[k1, k2, w] = sum_j2 F2[j2, k2] y[k1, j2, w]
+        grid over (k1, w); block (1, n2, 128) — a (n2 x n2) matmul.
+
+    The inverse runs B-style (contract k2), then A-style with the
+    conjugate matrices; the spectrum filter multiply is fused into the
+    first inverse pass.
+
+HBM passes per 2-D transform: 3 (vs XLA FFT's ~13 radix passes).
+Numerics identical to the split-order reference pipeline
+(ops/pallas_fft.py); see tests/test_pallas_fft.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_fft import _plan
+
+_INTERPRET = False
+
+
+def _set_interpret(flag: bool):
+    global _INTERPRET
+    _INTERPRET = flag
+
+
+def _mats(n, inverse):
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _plan(n, inverse)
+    return (jnp.asarray(F1r), jnp.asarray(F1i), jnp.asarray(F2r),
+            jnp.asarray(F2i), jnp.asarray(Tr), jnp.asarray(Ti),
+            float(scale), n1, n2)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# H pass A: stage 1 + twiddle.  x viewed (n1, n2, W); block (n1, BJ, BW)
+# ---------------------------------------------------------------------------
+
+
+def _h_passA_kernel(n1, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
+                    tr, ti, or_ref, oi_ref):
+    _, bj, bw = xr_ref.shape
+    twr = tr[:][:, :, None]
+    twi = ti[:][:, :, None]
+    if twiddle_first:
+        # inverse: twiddle on the incoming [k1, j2] indices, then contract k1
+        xr3 = xr_ref[:]
+        xi3 = xi_ref[:]
+        xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
+        xr = xr3.reshape(n1, bj * bw)
+        xi = xi3.reshape(n1, bj * bw)
+        zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
+        zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
+    else:
+        # forward: contract j1, then twiddle on the produced [k1, j2]
+        xr = xr_ref[:].reshape(n1, bj * bw)
+        xi = xi_ref[:].reshape(n1, bj * bw)
+        yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
+        yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
+        zr = yr * twr - yi * twi
+        zi = yr * twi + yi * twr
+    if scale != 1.0:
+        zr = zr * scale
+        zi = zi * scale
+    or_ref[:] = zr
+    oi_ref[:] = zi
+
+
+def h_passA(xr, xi, n, inverse, bj=8, bw=128):
+    """x planes shaped (n1, n2, W)."""
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
+    _, _, w = xr.shape
+    data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((n1, bj), lambda j, k: (0, j),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_h_passA_kernel, n1, scale if inverse else 1.0, inverse),
+        grid=(n2 // bj, w // bw),
+        in_specs=[data_spec, data_spec, mat_spec, mat_spec, tw_spec, tw_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)),
+        interpret=_INTERPRET,
+    )(xr, xi, F1r, F1i, Tr, Ti)
+
+
+# ---------------------------------------------------------------------------
+# H pass B: stage 2.  y viewed (n1, n2, W); block (1, n2, BW)
+# ---------------------------------------------------------------------------
+
+
+def _h_passB_kernel(n2, fuse_filter, yr_ref, yi_ref, *rest):
+    if fuse_filter:
+        fr_ref, fi_ref, f2r, f2i, or_ref, oi_ref = rest
+    else:
+        f2r, f2i, or_ref, oi_ref = rest
+    yr = yr_ref[0]          # (n2, bw)
+    yi = yi_ref[0]
+    if fuse_filter:
+        # spectrum multiply BEFORE the inverse contraction begins
+        fr = fr_ref[0]
+        fi = fi_ref[0]
+        yr, yi = yr * fr - yi * fi, yr * fi + yi * fr
+    # z[k2, w] = sum_j2 F2[j2, k2] y[j2, w]  ->  F2^T @ y; F2 symmetric
+    zr = _mm(f2r[:], yr) - _mm(f2i[:], yi)
+    zi = _mm(f2r[:], yi) + _mm(f2i[:], yr)
+    or_ref[0] = zr
+    oi_ref[0] = zi
+
+
+def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=128):
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
+    _, _, w = yr.shape
+    data_spec = pl.BlockSpec((1, n2, bw), lambda i, k: (i, 0, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    fuse = filt_r is not None
+    ins = [yr, yi] + ([filt_r, filt_i] if fuse else [])
+    in_specs = [data_spec] * len(ins) + [mat_spec, mat_spec]
+    return pl.pallas_call(
+        partial(_h_passB_kernel, n2, fuse),
+        grid=(n1, w // bw),
+        in_specs=in_specs,
+        out_specs=(data_spec, data_spec),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)),
+        interpret=_INTERPRET,
+    )(*ins, F2r, F2i)
+
+
+def fft_h(vr, vi, h):
+    """Forward H transform of (H, W) planes -> split order (H, W)."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(h, False)
+    w = vr.shape[-1]
+    xr = vr.reshape(n1, n2, w)
+    xi = vi.reshape(n1, n2, w)
+    yr, yi = h_passA(xr, xi, h, False)
+    zr, zi = h_passB(yr, yi, h, False)
+    return zr.reshape(h, w), zi.reshape(h, w)
+
+
+def ifft_h(vr, vi, h, filt_r=None, filt_i=None):
+    """Inverse from split order; optional fused filter multiply applied
+    BEFORE the transform (i.e. on the split-order spectrum)."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(h, True)
+    w = vr.shape[-1]
+    xr = vr.reshape(n1, n2, w)
+    xi = vi.reshape(n1, n2, w)
+    fr = filt_r.reshape(n1, n2, w) if filt_r is not None else None
+    fi = filt_i.reshape(n1, n2, w) if filt_i is not None else None
+    # inverse: inner contract k2 (pass B with inverse mats, filter fused),
+    # then twiddle+contract k1 (pass A with inverse mats, scale applied)
+    ar, ai = h_passB(xr, xi, h, True, fr, fi)
+    zr, zi = h_passA(ar, ai, h, True)
+    return zr.reshape(h, w), zi.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# W axis: single-kernel row transforms (valid blocks: (BR, W))
+# ---------------------------------------------------------------------------
+
+
+def _w_fwd_kernel(n1, n2, x_ref, f1r, f1i, f2r, f2i, trt, tit, or_ref, oi_ref):
+    br = x_ref.shape[0]
+    xs = x_ref[:].reshape(br, n1, n2)
+    # stage 1: contract j1 -> (br, n2, n1)
+    yr = jax.lax.dot_general(xs, f1r[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    yi = jax.lax.dot_general(xs, f1i[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    tr = yr * trt[:] - yi * tit[:]
+    ti = yr * tit[:] + yi * trt[:]
+    # stage 2: contract j2 -> (br, n1, n2)
+    zr = jax.lax.dot_general(tr, f2r[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) - \
+         jax.lax.dot_general(ti, f2i[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    zi = jax.lax.dot_general(tr, f2i[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + \
+         jax.lax.dot_general(ti, f2r[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    or_ref[:] = zr.reshape(br, n1 * n2)
+    oi_ref[:] = zi.reshape(br, n1 * n2)
+
+
+def _w_inv_kernel(n1, n2, scale, vr_ref, vi_ref, f1r, f1i, f2r, f2i, trt, tit,
+                  out_ref):
+    br = vr_ref.shape[0]
+    xr = vr_ref[:].reshape(br, n1, n2)
+    xi = vi_ref[:].reshape(br, n1, n2)
+    # inner: contract k2 -> (br, n1, j2)
+    ar = jax.lax.dot_general(xr, f2r[:], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) - \
+         jax.lax.dot_general(xi, f2i[:], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ai = jax.lax.dot_general(xr, f2i[:], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + \
+         jax.lax.dot_general(xi, f2r[:], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # twiddle T[k1, j2] = trt^T
+    tr_ = ar * trt[:].T - ai * tit[:].T
+    ti_ = ar * tit[:].T + ai * trt[:].T
+    # outer: contract k1 -> (br, j2, j1); only the real part is needed
+    zr = jax.lax.dot_general(tr_, f1r[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) - \
+         jax.lax.dot_general(ti_, f1i[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    out_ref[:] = (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
+
+
+def fft_w(x, block_rows=64):
+    m, w = x.shape
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(w, False)
+    TrT = jnp.asarray(np.ascontiguousarray(np.asarray(Tr).T))
+    TiT = jnp.asarray(np.ascontiguousarray(np.asarray(Ti).T))
+    spec = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m2 = pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_w_fwd_kernel, n1, n2),
+        grid=(m // block_rows,),
+        in_specs=[spec, m1, m1, m2, m2, mt, mt],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((m, w), jnp.float32),
+                   jax.ShapeDtypeStruct((m, w), jnp.float32)),
+        interpret=_INTERPRET,
+    )(x, F1r, F1i, F2r, F2i, TrT, TiT)
+
+
+def ifft_w(vr, vi, block_rows=64):
+    m, w = vr.shape
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(w, True)
+    TrT = jnp.asarray(np.ascontiguousarray(np.asarray(Tr).T))
+    TiT = jnp.asarray(np.ascontiguousarray(np.asarray(Ti).T))
+    spec = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m2 = pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_w_inv_kernel, n1, n2, scale),
+        grid=(m // block_rows,),
+        in_specs=[spec, spec, m1, m1, m2, m2, mt, mt],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, w), jnp.float32),
+        interpret=_INTERPRET,
+    )(vr, vi, F1r, F1i, F2r, F2i, TrT, TiT)
+
+
+def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=64):
+    """irfft2(rfft2(x) * H) on (H, W); filter planes in split order."""
+    h, w = x.shape
+    wr, wi = fft_w(x, block_rows)
+    hr, hi = fft_h(wr, wi, h)
+    br, bi = ifft_h(hr, hi, h, filt_r, filt_i)
+    return ifft_w(br, bi, block_rows)

@@ -101,3 +101,31 @@ def test_pallas_kernels_interpret():
         assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
     finally:
         pk._set_interpret(False)
+
+
+def test_pallas2_pipeline_interpret():
+    """Pass-structured Pallas kernels (interpret) == numpy reference."""
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+
+    pk2._set_interpret(True)
+    try:
+        rng = np.random.RandomState(6)
+        h, w = 96, 256
+        x = rng.rand(h, w).astype(np.float32)
+        kern = rng.rand(h, w).astype(np.float32)
+        Hs = pf.spectrum_to_split(np.fft.fft2(kern).astype(np.complex64), axes=(0, 1))
+        fr = jnp.asarray(np.ascontiguousarray(Hs.real))
+        fi = jnp.asarray(np.ascontiguousarray(Hs.imag))
+        out = np.asarray(pk2.filtered_synthesis_pallas2(jnp.asarray(x), fr, fi,
+                                                        block_rows=32))
+        ref = np.real(np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(kern)))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+        # unfiltered roundtrip
+        wr, wi = pk2.fft_w(jnp.asarray(x), block_rows=32)
+        hr, hi = pk2.fft_h(wr, wi, h)
+        br, bi = pk2.ifft_h(hr, hi, h)
+        back = np.asarray(pk2.ifft_w(br, bi, block_rows=32))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+    finally:
+        pk2._set_interpret(False)
