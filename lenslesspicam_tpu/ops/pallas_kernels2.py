@@ -95,10 +95,23 @@ def _h_passA_kernel(n1, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
     oi_ref[:] = zi
 
 
-def h_passA(xr, xi, n, inverse, bj=8, bw=128):
+def _pick_block(n, target):
+    """Largest divisor of n that is <= target and a multiple of target's
+    alignment (or n itself)."""
+    if n <= target:
+        return n
+    b = target
+    while n % b:
+        b -= 1
+    return b
+
+
+def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     """x planes shaped (n1, n2, W)."""
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = xr.shape
+    bj = bj or (n2 if n2 % 8 else min(8, n2))
+    bw = bw or (w if w % 128 else min(128, w))
     data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
@@ -140,9 +153,10 @@ def _h_passB_kernel(n2, fuse_filter, yr_ref, yi_ref, *rest):
     oi_ref[0] = zi
 
 
-def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=128):
+def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = yr.shape
+    bw = bw or (w if w % 128 else min(128, w))
     data_spec = pl.BlockSpec((1, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -241,11 +255,14 @@ def _w_inv_kernel(n1, n2, scale, vr_ref, vi_ref, f1r, f1i, f2r, f2i, trt, tit,
     out_ref[:] = (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
 
 
-def fft_w(x, block_rows=64):
+def fft_w(x, block_rows=None):
     m, w = x.shape
-    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(w, False)
-    TrT = jnp.asarray(np.ascontiguousarray(np.asarray(Tr).T))
-    TiT = jnp.asarray(np.ascontiguousarray(np.asarray(Ti).T))
+    block_rows = block_rows or _pick_block(m, 64)
+    F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, False)
+    F1r, F1i = jnp.asarray(F1r_np), jnp.asarray(F1i_np)
+    F2r, F2i = jnp.asarray(F2r_np), jnp.asarray(F2i_np)
+    TrT = jnp.asarray(np.ascontiguousarray(Tr_np.T))
+    TiT = jnp.asarray(np.ascontiguousarray(Ti_np.T))
     spec = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -262,11 +279,14 @@ def fft_w(x, block_rows=64):
     )(x, F1r, F1i, F2r, F2i, TrT, TiT)
 
 
-def ifft_w(vr, vi, block_rows=64):
+def ifft_w(vr, vi, block_rows=None):
     m, w = vr.shape
-    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(w, True)
-    TrT = jnp.asarray(np.ascontiguousarray(np.asarray(Tr).T))
-    TiT = jnp.asarray(np.ascontiguousarray(np.asarray(Ti).T))
+    block_rows = block_rows or _pick_block(m, 64)
+    F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, True)
+    F1r, F1i = jnp.asarray(F1r_np), jnp.asarray(F1i_np)
+    F2r, F2i = jnp.asarray(F2r_np), jnp.asarray(F2i_np)
+    TrT = jnp.asarray(np.ascontiguousarray(Tr_np.T))
+    TiT = jnp.asarray(np.ascontiguousarray(Ti_np.T))
     spec = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -282,9 +302,10 @@ def ifft_w(vr, vi, block_rows=64):
     )(vr, vi, F1r, F1i, F2r, F2i, TrT, TiT)
 
 
-def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=64):
+def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=None):
     """irfft2(rfft2(x) * H) on (H, W); filter planes in split order."""
     h, w = x.shape
+    block_rows = block_rows or _pick_block(h, 64)
     wr, wi = fft_w(x, block_rows)
     hr, hi = fft_h(wr, wi, h)
     br, bi = ifft_h(hr, hi, h, filt_r, filt_i)

@@ -89,12 +89,37 @@ def _finite_diff_adj(u0, u1):
     return (jnp.roll(u0, -1, axis=0) - u0) + (jnp.roll(u1, -1, axis=1) - u1)
 
 
+def _fft_fns(backend: str, ph: int):
+    """(fwd2, inv2) full 2-D split-order transform pairs."""
+    if backend == "pallas":
+        from ..ops import pallas_kernels2 as pk2
+
+        def fwd2(x):
+            wr, wi = pk2.fft_w(x)
+            return pk2.fft_h(wr, wi, ph)
+
+        def inv2(vr, vi):
+            br, bi = pk2.ifft_h(vr, vi, ph)
+            return pk2.ifft_w(br, bi)
+
+        return fwd2, inv2
+
+    def fwd2(x):
+        return pf.fft_h_split(*pf.fft_w_split(x))
+
+    def inv2(vr, vi):
+        return pf.ifft_w_split(*pf.ifft_h_split(vr, vi))
+
+    return fwd2, inv2
+
+
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
-              n_iter: int = 100) -> jax.Array:
+              n_iter: int = 100, backend: str = "jax") -> jax.Array:
     """Grayscale single-image ADMM on the split-FFT backend; returns the
-    cropped (H, W) reconstruction."""
+    cropped (H, W) reconstruction.  backend: "jax" | "pallas"."""
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = pre.padded_shape
+    fwd2, inv2 = _fft_fns(backend, ph)
     zeros = jnp.zeros((ph, pw), jnp.float32)
     state = dict(
         image=zeros, X=zeros, W=zeros, xi=zeros, rho=zeros,
@@ -114,16 +139,16 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
         v = mu1 * X - s["xi"]
 
         # forward transforms (split order)
-        ar, ai = pf.fft_h_split(*pf.fft_w_split(rk_spatial))
-        br, bi = pf.fft_h_split(*pf.fft_w_split(v))
+        ar, ai = fwd2(rk_spatial)
+        br, bi = fwd2(v)
         # F_rk = A + conj(H) * B;   F_img = R * F_rk
         fr = pre.R * (ar + pre.Hr * br + pre.Hi * bi)
         fi = pre.R * (ai + pre.Hr * bi - pre.Hi * br)
-        image = pf.ifft_w_split(*pf.ifft_h_split(fr, fi))
+        image = inv2(fr, fi)
         # forward_out = ifft(H * F_img)
         gr = pre.Hr * fr - pre.Hi * fi
         gi = pre.Hr * fi + pre.Hi * fr
-        forward_out = pf.ifft_w_split(*pf.ifft_h_split(gr, gi))
+        forward_out = inv2(gr, gi)
 
         psi0, psi1 = _finite_diff(image)
         return dict(
@@ -145,16 +170,17 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start"))
+@partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start", "backend"))
 def _run_split_jit(Hr, Hi, R, X_divmat, data_pad, psf_shape, padded_shape,
-                   start, params, n_iter):
+                   start, params, n_iter, backend):
     pre = SplitPrecomp(Hr, Hi, R, X_divmat, data_pad, psf_shape,
                        padded_shape, start)
-    return run_split(pre, params, n_iter)
+    return run_split(pre, params, n_iter, backend)
 
 
-def run_split_jit(pre: SplitPrecomp, params: ADMMParams = ADMMParams(), n_iter=100):
+def run_split_jit(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
+                  n_iter=100, backend: str = "jax"):
     """jit entry; geometry tuples stay static, n_iter stays dynamic."""
     return _run_split_jit(pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
                           pre.psf_shape, pre.padded_shape, pre.start,
-                          params, jnp.asarray(n_iter))
+                          params, jnp.asarray(n_iter), backend)
