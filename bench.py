@@ -111,8 +111,9 @@ def verify_split(jax):
         conv = admm.make_convolver(psf2d[None, :, :, None])
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
+    backend = os.environ.get("BENCH_FFT_BACKEND", "jax")
     pre = admm_split.precompute_split(psf2d, data2d)
-    out = np.asarray(admm_split.run_split_jit(pre, n_iter=10))
+    out = np.asarray(admm_split.run_split_jit(pre, n_iter=10, backend=backend))
     scale = max(np.abs(ref).max(), 1e-9)
     err = float(np.abs(out - ref).max() / scale)
     # the matmul-DFT backend carries ~10x more f32 noise per transform
@@ -155,13 +156,14 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     data2d = rng.rand(*shape).astype(np.float32)
 
     try:
+        backend = os.environ.get("BENCH_FFT_BACKEND", "jax")
         pre = admm_split.precompute_split(psf2d, data2d)
 
         @jax.jit
         def run_sum(Hr, Hi, R, Xd, dp, n):
             p = admm_split.SplitPrecomp(Hr, Hi, R, Xd, dp, pre.psf_shape,
                                         pre.padded_shape, pre.start)
-            out = admm_split.run_split(p, admm_split.ADMMParams(), n)
+            out = admm_split.run_split(p, admm_split.ADMMParams(), n, backend)
             return jnp.sum(out[::499, ::499])
 
         args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad)
