@@ -184,3 +184,86 @@ def run_split_jit(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     return _run_split_jit(pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
                           pre.psf_shape, pre.padded_shape, pre.start,
                           params, jnp.asarray(n_iter), backend)
+
+
+# ---------------------------------------------------------------------------
+# batched / RGB / multi-depth generalization via vmap
+# ---------------------------------------------------------------------------
+
+
+def precompute_split_general(psf, data, params: ADMMParams = ADMMParams()):
+    """Per-plane split precompute for (D, H, W, C) PSFs and
+    (B, D, H, W, C) measurements: planes = D*C spectra, batch broadcasts.
+
+    Returns (pre_planes, shape_info) where pre_planes stacks the
+    per-(d, c) SplitPrecomp arrays on a leading axis.
+    """
+    psf = np.asarray(psf, np.float32)
+    data = np.asarray(data, np.float32)
+    if data.ndim == 3:
+        data = data[None, None]
+    elif data.ndim == 4:
+        data = data[None]
+    depth, nh, nw, ch = psf.shape
+    batch = data.shape[0]
+
+    pres = []
+    for d in range(depth):
+        for c in range(ch):
+            # data may broadcast over depth (3-D semantics) and uses the
+            # first batch element only for the spatial pad template; the
+            # actual measurement is passed at run time per batch element.
+            d_idx = min(d, data.shape[1] - 1)
+            pres.append(precompute_split(psf[d, :, :, c],
+                                         data[0, d_idx, :, :, c], params))
+    stacked = SplitPrecomp(
+        Hr=jnp.stack([p.Hr for p in pres]),
+        Hi=jnp.stack([p.Hi for p in pres]),
+        R=jnp.stack([p.R for p in pres]),
+        X_divmat=jnp.stack([p.X_divmat for p in pres]),
+        data_pad=jnp.stack([p.data_pad for p in pres]),
+        psf_shape=pres[0].psf_shape,
+        padded_shape=pres[0].padded_shape,
+        start=pres[0].start,
+    )
+    info = dict(batch=batch, depth=depth, channels=ch)
+    return stacked, info
+
+
+def _pad_plane(x2d, pre):
+    ph, pw = pre.padded_shape
+    nh, nw = pre.psf_shape
+    sy, sx = pre.start
+    return jnp.zeros((ph, pw), x2d.dtype).at[sy:sy + nh, sx:sx + nw].set(x2d)
+
+
+def run_split_general(pre_planes: SplitPrecomp, info: dict, data,
+                      params: ADMMParams = ADMMParams(), n_iter: int = 100,
+                      backend: str = "jax") -> jax.Array:
+    """Batched RGB/3-D split-backend ADMM; returns (B, D, H, W, C)."""
+    data = jnp.asarray(data, jnp.float32)
+    if data.ndim == 3:
+        data = data[None, None]
+    elif data.ndim == 4:
+        data = data[None]
+    batch, depth, ch = info["batch"], info["depth"], info["channels"]
+    # planes (B, D*C, H, W): broadcast data depth if PSF has more depths
+    if data.shape[1] == 1 and depth > 1:
+        data = jnp.broadcast_to(data, (data.shape[0], depth) + data.shape[2:])
+    planes = data.transpose(0, 1, 4, 2, 3).reshape(batch, depth * ch,
+                                                   *data.shape[2:4])
+
+    def one_plane(pre_arrays, plane2d):
+        Hr, Hi, R, Xd, _ = pre_arrays
+        pre = SplitPrecomp(Hr, Hi, R, Xd, _pad_plane(plane2d, pre_planes),
+                           pre_planes.psf_shape, pre_planes.padded_shape,
+                           pre_planes.start)
+        return run_split(pre, params, n_iter, backend)
+
+    per_plane = jax.vmap(one_plane, in_axes=((0, 0, 0, 0, 0), 0))
+    per_batch = jax.vmap(lambda planes_b: per_plane(
+        (pre_planes.Hr, pre_planes.Hi, pre_planes.R, pre_planes.X_divmat,
+         pre_planes.data_pad), planes_b))
+    out = per_batch(planes)  # (B, D*C, H, W)
+    nh, nw = pre_planes.psf_shape
+    return out.reshape(batch, depth, ch, nh, nw).transpose(0, 1, 3, 4, 2)

@@ -129,3 +129,24 @@ def test_pallas2_pipeline_interpret():
         np.testing.assert_allclose(back, x, atol=1e-4)
     finally:
         pk2._set_interpret(False)
+
+
+def test_admm_split_general_batched_rgb_3d():
+    """Batched RGB multi-depth split solver == standard solver."""
+    import jax
+    from lenslesspicam_tpu.recon import admm, admm_split
+
+    rng = np.random.RandomState(5)
+    psf = rng.rand(2, 32, 48, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    data = rng.rand(2, 1, 32, 48, 3).astype(np.float32)
+
+    conv = admm.make_convolver(psf)
+    ref = np.asarray(admm.run_jit(conv, data, n_iter=5))
+    pre, info = admm_split.precompute_split_general(psf, data)
+    out = np.asarray(jax.jit(
+        lambda d: admm_split.run_split_general(pre, info, d, n_iter=5)
+    )(jnp.asarray(data)))
+    assert out.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-9)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-2)
