@@ -10,6 +10,18 @@ Public surface mirrors the reference's ``lensless/__init__.py:16-44``.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("LPT_PLATFORM"):
+    # reliable platform override: some TPU runtimes pin JAX_PLATFORMS in
+    # sitecustomize before user env applies (docs/tpu_runtime_notes.md)
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["LPT_PLATFORM"])
+    except Exception:
+        pass
+
 from .ops.fft_conv import FFTConvolver, make_convolver  # noqa: F401
 from .recon.base import (  # noqa: F401
     ReconstructionAlgorithm,

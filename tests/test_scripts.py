@@ -10,7 +10,7 @@ import pytest
 import cv2
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+ENV = dict(os.environ, LPT_PLATFORM="cpu", PYTHONPATH=REPO)
 
 
 def _make_inputs(tmp_path):
