@@ -66,11 +66,13 @@ def _mm(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _h_passA_kernel(n1, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
+def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
                     tr, ti, or_ref, oi_ref):
-    _, bj, bw = xr_ref.shape
-    twr = tr[:][:, :, None]
-    twi = ti[:][:, :, None]
+    _, _, bw = xr_ref.shape
+    # full (n1, n2) twiddle is a kernel input; slice this block's j2 range
+    j = pl.program_id(0)
+    twr = tr[:, pl.ds(j * bj, bj)][:, :, None]
+    twi = ti[:, pl.ds(j * bj, bj)][:, :, None]
     if twiddle_first:
         # inverse: twiddle on the incoming [k1, j2] indices, then contract k1
         xr3 = xr_ref[:]
@@ -116,10 +118,10 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
                             memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((n1, bj), lambda j, k: (0, j),
+    tw_spec = pl.BlockSpec((n1, n2), lambda j, k: (0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_h_passA_kernel, n1, scale if inverse else 1.0, inverse),
+        partial(_h_passA_kernel, n1, bj, scale if inverse else 1.0, inverse),
         grid=(n2 // bj, w // bw),
         in_specs=[data_spec, data_spec, mat_spec, mat_spec, tw_spec, tw_spec],
         out_specs=(data_spec, data_spec),
