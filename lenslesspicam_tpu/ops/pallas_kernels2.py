@@ -69,10 +69,10 @@ def _mm(a, b):
 def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
                     tr, ti, or_ref, oi_ref):
     _, _, bw = xr_ref.shape
-    # full (n1, n2) twiddle is a kernel input; slice this block's j2 range
-    j = pl.program_id(0)
-    twr = tr[:, pl.ds(j * bj, bj)][:, :, None]
-    twi = ti[:, pl.ds(j * bj, bj)][:, :, None]
+    # twiddle arrives TRANSPOSED (n2, n1) and block-sliced on its sublane
+    # axis (lane-axis dynamic slices need 128 alignment on TPU)
+    twr = tr[:].T[:, :, None]
+    twi = ti[:].T[:, :, None]
     if twiddle_first:
         # inverse: twiddle on the incoming [k1, j2] indices, then contract k1
         xr3 = xr_ref[:]
@@ -118,8 +118,10 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
                             memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((n1, n2), lambda j, k: (0, 0),
+    tw_spec = pl.BlockSpec((bj, n1), lambda j, k: (j, 0),
                            memory_space=pltpu.VMEM)
+    TrT = jnp.swapaxes(Tr, 0, 1)  # (n2, n1)
+    TiT = jnp.swapaxes(Ti, 0, 1)
     return pl.pallas_call(
         partial(_h_passA_kernel, n1, bj, scale if inverse else 1.0, inverse),
         grid=(n2 // bj, w // bw),
@@ -128,7 +130,7 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
         out_shape=(jax.ShapeDtypeStruct((n1, n2, w), jnp.float32),
                    jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)),
         interpret=_INTERPRET,
-    )(xr, xi, F1r, F1i, Tr, Ti)
+    )(xr, xi, F1r, F1i, TrT, TiT)
 
 
 # ---------------------------------------------------------------------------
