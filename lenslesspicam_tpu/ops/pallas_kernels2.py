@@ -56,9 +56,13 @@ def _mats(n, inverse):
             float(scale), n1, n2)
 
 
+_PREC = jax.lax.Precision.HIGHEST  # f32-exactness on the MXU
+
+
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
 
 
 # ---------------------------------------------------------------------------
@@ -216,20 +220,26 @@ def _w_fwd_kernel(n1, n2, x_ref, f1r, f1i, f2r, f2i, trt, tit, or_ref, oi_ref):
     xs = x_ref[:].reshape(br, n1, n2)
     # stage 1: contract j1 -> (br, n2, n1)
     yr = jax.lax.dot_general(xs, f1r[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     yi = jax.lax.dot_general(xs, f1i[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     tr = yr * trt[:] - yi * tit[:]
     ti = yr * tit[:] + yi * trt[:]
     # stage 2: contract j2 -> (br, n1, n2)
     zr = jax.lax.dot_general(tr, f2r[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) - \
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) - \
          jax.lax.dot_general(ti, f2i[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     zi = jax.lax.dot_general(tr, f2i[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) + \
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) + \
          jax.lax.dot_general(ti, f2r[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     or_ref[:] = zr.reshape(br, n1 * n2)
     oi_ref[:] = zi.reshape(br, n1 * n2)
 
@@ -241,21 +251,27 @@ def _w_inv_kernel(n1, n2, scale, vr_ref, vi_ref, f1r, f1i, f2r, f2i, trt, tit,
     xi = vi_ref[:].reshape(br, n1, n2)
     # inner: contract k2 -> (br, n1, j2)
     ar = jax.lax.dot_general(xr, f2r[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) - \
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) - \
          jax.lax.dot_general(xi, f2i[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     ai = jax.lax.dot_general(xr, f2i[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) + \
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) + \
          jax.lax.dot_general(xi, f2r[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     # twiddle T[k1, j2] = trt^T
     tr_ = ar * trt[:].T - ai * tit[:].T
     ti_ = ar * tit[:].T + ai * trt[:].T
     # outer: contract k1 -> (br, j2, j1); only the real part is needed
     zr = jax.lax.dot_general(tr_, f1r[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) - \
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) - \
          jax.lax.dot_general(ti_, f1i[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     out_ref[:] = (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
 
 
