@@ -112,6 +112,14 @@ def _pick_block(n, target):
     return b
 
 
+def _w_block_rows(m, w):
+    """Row-block size for the W kernels sized to the VMEM budget: the
+    kernel holds ~8 block-sized f32 buffers (in/out double buffering +
+    stage intermediates)."""
+    budget_rows = max(8, int(10 * 2**20 / (w * 4 * 8)) // 8 * 8)
+    return _pick_block(m, min(64, budget_rows))
+
+
 def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     """x planes shaped (n1, n2, W)."""
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
@@ -277,7 +285,7 @@ def _w_inv_kernel(n1, n2, scale, vr_ref, vi_ref, f1r, f1i, f2r, f2i, trt, tit,
 
 def fft_w(x, block_rows=None):
     m, w = x.shape
-    block_rows = block_rows or _pick_block(m, 64)
+    block_rows = block_rows or _w_block_rows(m, w)
     F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, False)
     F1r, F1i = jnp.asarray(F1r_np), jnp.asarray(F1i_np)
     F2r, F2i = jnp.asarray(F2r_np), jnp.asarray(F2i_np)
@@ -301,7 +309,7 @@ def fft_w(x, block_rows=None):
 
 def ifft_w(vr, vi, block_rows=None):
     m, w = vr.shape
-    block_rows = block_rows or _pick_block(m, 64)
+    block_rows = block_rows or _w_block_rows(m, w)
     F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, True)
     F1r, F1i = jnp.asarray(F1r_np), jnp.asarray(F1i_np)
     F2r, F2i = jnp.asarray(F2r_np), jnp.asarray(F2i_np)
@@ -325,7 +333,7 @@ def ifft_w(vr, vi, block_rows=None):
 def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=None):
     """irfft2(rfft2(x) * H) on (H, W); filter planes in split order."""
     h, w = x.shape
-    block_rows = block_rows or _pick_block(h, 64)
+    block_rows = block_rows or _w_block_rows(h, w)
     wr, wi = fft_w(x, block_rows)
     hr, hi = fft_h(wr, wi, h)
     br, bi = ifft_h(hr, hi, h, filt_r, filt_i)
