@@ -116,7 +116,7 @@ def _w_block_rows(m, w):
     """Row-block size for the W kernels sized to the VMEM budget: the
     kernel holds ~8 block-sized f32 buffers (in/out double buffering +
     stage intermediates)."""
-    budget_rows = max(8, int(10 * 2**20 / (w * 4 * 8)) // 8 * 8)
+    budget_rows = max(8, int(5 * 2**20 / (w * 4 * 8)) // 8 * 8)
     return _pick_block(m, min(64, budget_rows))
 
 
