@@ -111,7 +111,7 @@ def verify_split(jax):
         conv = admm.make_convolver(psf2d[None, :, :, None])
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
-    backend = os.environ.get("BENCH_FFT_BACKEND", "jax")
+    backend = os.environ.get("BENCH_FFT_BACKEND", "pallas")
     pre = admm_split.precompute_split(psf2d, data2d)
     out = np.asarray(admm_split.run_split_jit(pre, n_iter=10, backend=backend))
     scale = max(np.abs(ref).max(), 1e-9)
@@ -155,19 +155,32 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     psf2d /= np.linalg.norm(psf2d)
     data2d = rng.rand(*shape).astype(np.float32)
 
+    backends = [os.environ.get("BENCH_FFT_BACKEND", "pallas")]
+    if backends[0] != "jax":
+        backends.append("jax")
+    for backend in backends:
+        try:
+            pre = admm_split.precompute_split(psf2d, data2d)
+
+            def make_run(bk):
+                @jax.jit
+                def run_sum(Hr, Hi, R, Xd, dp, n):
+                    p = admm_split.SplitPrecomp(Hr, Hi, R, Xd, dp, pre.psf_shape,
+                                                pre.padded_shape, pre.start)
+                    out = admm_split.run_split(p, admm_split.ADMMParams(), n, bk)
+                    return jnp.sum(out[::499, ::499])
+
+                return run_sum
+
+            run_sum = make_run(backend)
+            args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad)
+            val = _timed(lambda k: float(run_sum(*args, k)), base_iter, n_iter, repeats)
+            print(f"backend {backend}: {val:.2f} it/s", file=sys.stderr)
+            return val
+        except Exception as e:
+            print(f"backend {backend} failed: {e}", file=sys.stderr)
     try:
-        backend = os.environ.get("BENCH_FFT_BACKEND", "jax")
-        pre = admm_split.precompute_split(psf2d, data2d)
-
-        @jax.jit
-        def run_sum(Hr, Hi, R, Xd, dp, n):
-            p = admm_split.SplitPrecomp(Hr, Hi, R, Xd, dp, pre.psf_shape,
-                                        pre.padded_shape, pre.start)
-            out = admm_split.run_split(p, admm_split.ADMMParams(), n, backend)
-            return jnp.sum(out[::499, ::499])
-
-        args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad)
-        return _timed(lambda k: float(run_sum(*args, k)), base_iter, n_iter, repeats)
+        raise RuntimeError("all split backends failed")
     except Exception as e:
         print(f"split backend unavailable ({e}); using standard solver",
               file=sys.stderr)
