@@ -124,7 +124,7 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     """x planes shaped (n1, n2, W)."""
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = xr.shape
-    bj = bj or (n2 if n2 % 8 else min(8, n2))
+    bj = bj or (n2 if n2 % 8 else min(32, n2))
     bw = bw or (w if w % 128 else min(128, w))
     data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
                              memory_space=pltpu.VMEM)
@@ -155,25 +155,29 @@ def _h_passB_kernel(n2, fuse_filter, yr_ref, yi_ref, *rest):
         fr_ref, fi_ref, f2r, f2i, or_ref, oi_ref = rest
     else:
         f2r, f2i, or_ref, oi_ref = rest
-    yr = yr_ref[0]          # (n2, bw)
-    yi = yi_ref[0]
+    kb, _, bw = yr_ref.shape
+    yr = yr_ref[:]          # (kb, n2, bw)
+    yi = yi_ref[:]
     if fuse_filter:
         # spectrum multiply BEFORE the inverse contraction begins
-        fr = fr_ref[0]
-        fi = fi_ref[0]
-        yr, yi = yr * fr - yi * fi, yr * fi + yi * fr
-    # z[k2, w] = sum_j2 F2[j2, k2] y[j2, w]  ->  F2^T @ y; F2 symmetric
-    zr = _mm(f2r[:], yr) - _mm(f2i[:], yi)
-    zi = _mm(f2r[:], yi) + _mm(f2i[:], yr)
-    or_ref[0] = zr
-    oi_ref[0] = zi
+        yr, yi = (yr * fr_ref[:] - yi * fi_ref[:],
+                  yr * fi_ref[:] + yi * fr_ref[:])
+    # fold the kb and w free axes so one (n2 x n2) matmul covers the block
+    yr2 = jnp.swapaxes(yr, 0, 1).reshape(n2, kb * bw)
+    yi2 = jnp.swapaxes(yi, 0, 1).reshape(n2, kb * bw)
+    # z[k2, .] = sum_j2 F2[j2, k2] y[j2, .]  ->  F2^T @ y; F2 symmetric
+    zr = _mm(f2r[:], yr2) - _mm(f2i[:], yi2)
+    zi = _mm(f2r[:], yi2) + _mm(f2i[:], yr2)
+    or_ref[:] = jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1)
+    oi_ref[:] = jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1)
 
 
-def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None):
+def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None, kb=None):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = yr.shape
     bw = bw or (w if w % 128 else min(128, w))
-    data_spec = pl.BlockSpec((1, n2, bw), lambda i, k: (i, 0, k),
+    kb = kb or _pick_block(n1, 8)
+    data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -182,7 +186,7 @@ def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None):
     in_specs = [data_spec] * len(ins) + [mat_spec, mat_spec]
     return pl.pallas_call(
         partial(_h_passB_kernel, n2, fuse),
-        grid=(n1, w // bw),
+        grid=(n1 // kb, w // bw),
         in_specs=in_specs,
         out_specs=(data_spec, data_spec),
         out_shape=(jax.ShapeDtypeStruct((n1, n2, w), jnp.float32),
