@@ -56,7 +56,14 @@ def _mats(n, inverse):
             float(scale), n1, n2)
 
 
-_PREC = jax.lax.Precision.HIGHEST  # f32-exactness on the MXU
+# f32-exactness on the MXU by default; LPT_PALLAS_PRECISION=default
+# selects single-pass bf16 matmuls (3x less MXU compute, ~1e-3 relative
+# error per transform — quality-verify before trusting, see bench.py)
+import os as _os
+
+_PREC = (jax.lax.Precision.DEFAULT
+         if _os.environ.get("LPT_PALLAS_PRECISION", "").lower() == "default"
+         else jax.lax.Precision.HIGHEST)
 
 
 def _mm(a, b):
