@@ -121,12 +121,53 @@ def verify_split(jax):
         out = np.asarray(admm_split.run_split_jit(pre, n_iter=10, backend="jax"))
     scale = max(np.abs(ref).max(), 1e-9)
     err = float(np.abs(out - ref).max() / scale)
-    # the matmul-DFT backend carries ~10x more f32 noise per transform
+    # the matmul-DFT backend carries more f32/bf16 noise per transform
     # than XLA's FFT, amplified by the 1/mu3 gain into a ~1e-2 state
-    # difference; reconstruction PSNR is unaffected (<0.05 dB measured),
-    # so the guard is a loose sanity bound against real divergence.
+    # difference; the guard below is a loose divergence bound and the
+    # REAL acceptance criterion is the scene-reconstruction quality gate.
     assert err < 5e-2, f"split solver diverges: {err}"
     print(f"verify split ok (rel err vs standard: {err:.2e})", file=sys.stderr)
+
+    # quality gate: reconstructing a structured scene from a simulated
+    # measurement must match the exact solver's PSNR within 0.2 dB
+    h, w = 96, 128
+    scene = np.zeros((h, w), np.float32)
+    scene[20:40, 30:60] = 1.0
+    scene[50:80, 70:110] = 0.6
+    psf_q = np.zeros((h, w), np.float32)
+    qys, qxs = rng.randint(0, h, 200), rng.randint(0, w, 200)
+    psf_q[qys, qxs] = rng.rand(200)
+    psf_q /= np.linalg.norm(psf_q)
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            fwd = FFTConvolver.from_psf(psf_q[None, :, :, None], pad=True,
+                                        norm="backward")
+            meas = np.asarray(fwd.convolve(jnp.asarray(
+                scene[None, None, :, :, None]))).squeeze()
+            meas = (meas / meas.max()).astype(np.float32)
+            conv_q = admm.make_convolver(psf_q[None, :, :, None])
+            ref_q = np.asarray(admm.run_jit(conv_q, jnp.asarray(
+                meas[None, None, :, :, None]), n_iter=100))[0, 0, :, :, 0]
+        pre_q = admm_split.precompute_split(psf_q, meas)
+        try:
+            out_q = np.asarray(admm_split.run_split_jit(pre_q, n_iter=100,
+                                                        backend=backend))
+        except Exception:
+            out_q = np.asarray(admm_split.run_split_jit(pre_q, n_iter=100,
+                                                        backend="jax"))
+
+        def psnr_of(x):
+            xn = x / max(x.max(), 1e-9)
+            sn = scene / scene.max()
+            return -10 * np.log10(np.mean((xn - sn) ** 2) + 1e-12)
+
+        p_ref, p_out = psnr_of(ref_q), psnr_of(out_q)
+        assert abs(p_ref - p_out) < 0.2, (
+            f"quality gate failed: exact {p_ref:.2f} dB vs backend {p_out:.2f} dB")
+        print(f"quality gate ok (exact {p_ref:.2f} dB, backend {p_out:.2f} dB)",
+              file=sys.stderr)
 
 
 def _timed(fn, base_iter, n_iter, repeats=3):
@@ -227,9 +268,14 @@ def main():
     timeout = int(os.environ.get("BENCH_RUNG_TIMEOUT", "540"))
     for idx, (shape, label) in enumerate(RUNGS):
         try:
+            child_env = dict(
+                os.environ,
+                LPT_PALLAS_PRECISION=os.environ.get("BENCH_PALLAS_PRECISION",
+                                                    "default"),
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--rung", str(idx)],
-                capture_output=True, text=True, timeout=timeout,
+                capture_output=True, text=True, timeout=timeout, env=child_env,
             )
         except subprocess.TimeoutExpired:
             print(f"{label} rung timed out after {timeout}s", file=sys.stderr)
