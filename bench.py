@@ -265,8 +265,11 @@ def main():
         run_rung(int(sys.argv[2]))
         return
 
-    timeout = int(os.environ.get("BENCH_RUNG_TIMEOUT", "540"))
+    base_timeout = int(os.environ.get("BENCH_RUNG_TIMEOUT", "540"))
     for idx, (shape, label) in enumerate(RUNGS):
+        # the headline rung gets a larger budget (12MP compiles are slow);
+        # fallback rungs stay tight so a dead tunnel still degrades fast
+        timeout = base_timeout * 2 if idx == 0 else base_timeout
         try:
             child_env = dict(
                 os.environ,
