@@ -131,8 +131,8 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     """x planes shaped (n1, n2, W)."""
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = xr.shape
-    bj = bj or (n2 if n2 % 8 else min(32, n2))
-    bw = bw or (w if w % 128 else min(128, w))
+    bj = bj or (n2 if n2 % 8 else min(int(_os.environ.get("LPT_PALLAS_BJ", "32")), n2))
+    bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
     data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
@@ -182,8 +182,8 @@ def _h_passB_kernel(n2, fuse_filter, yr_ref, yi_ref, *rest):
 def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None, kb=None):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = yr.shape
-    bw = bw or (w if w % 128 else min(128, w))
-    kb = kb or _pick_block(n1, 8)
+    bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
