@@ -349,3 +349,74 @@ def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=None):
     hr, hi = fft_h(wr, wi, h)
     br, bi = ifft_h(hr, hi, h, filt_r, filt_i)
     return ifft_w(br, bi, block_rows)
+
+
+# ---------------------------------------------------------------------------
+# dual-output inverse pass B: one spectrum read -> two filtered planes
+# (ADMM needs image = inv(F_img) and forward_out = inv(H * F_img))
+# ---------------------------------------------------------------------------
+
+
+def _h_passB_dual_kernel(n2, yr_ref, yi_ref, hr_ref, hi_ref, f2r, f2i,
+                         a0r_ref, a0i_ref, a1r_ref, a1i_ref):
+    kb, _, bw = yr_ref.shape
+    yr = yr_ref[:]
+    yi = yi_ref[:]
+    # plane 1 spectrum = H * y (fused multiply, one read of y)
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    y1r = yr * hr - yi * hi
+    y1i = yr * hi + yi * hr
+
+    def contract(vr, vi):
+        vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * bw)
+        vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * bw)
+        zr = _mm(f2r[:], vr2) - _mm(f2i[:], vi2)
+        zi = _mm(f2r[:], vi2) + _mm(f2i[:], vr2)
+        return (jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1),
+                jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1))
+
+    a0r, a0i = contract(yr, yi)
+    a1r, a1i = contract(y1r, y1i)
+    a0r_ref[:] = a0r
+    a0i_ref[:] = a0i
+    a1r_ref[:] = a1r
+    a1i_ref[:] = a1i
+
+
+def h_passB_dual(yr, yi, hr, hi, n, bw=None, kb=None):
+    """Inverse inner contraction producing BOTH the unfiltered and the
+    H-filtered planes from one read of the (split-order) spectrum."""
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, True)
+    _, _, w = yr.shape
+    bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)
+    return pl.pallas_call(
+        partial(_h_passB_dual_kernel, n2),
+        grid=(n1 // kb, w // bw),
+        in_specs=[data_spec] * 4 + [mat_spec, mat_spec],
+        out_specs=(data_spec,) * 4,
+        out_shape=(shape,) * 4,
+        interpret=_INTERPRET,
+    )(yr, yi, hr, hi, F2r, F2i)
+
+
+def ifft_h_dual(vr, vi, hr, hi, h):
+    """(image_plane, forward_plane) = (ifft_h(v), ifft_h(H*v)) with the
+    spectrum read once and the filter multiply fused."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(h, True)
+    w = vr.shape[-1]
+    xr = vr.reshape(n1, n2, w)
+    xi = vi.reshape(n1, n2, w)
+    fhr = hr.reshape(n1, n2, w)
+    fhi = hi.reshape(n1, n2, w)
+    a0r, a0i, a1r, a1i = h_passB_dual(xr, xi, fhr, fhi, h)
+    z0r, z0i = h_passA(a0r, a0i, h, True)
+    z1r, z1i = h_passA(a1r, a1i, h, True)
+    return ((z0r.reshape(h, w), z0i.reshape(h, w)),
+            (z1r.reshape(h, w), z1i.reshape(h, w)))

@@ -102,7 +102,11 @@ def _fft_fns(backend: str, ph: int):
             br, bi = pk2.ifft_h(vr, vi, ph)
             return pk2.ifft_w(br, bi)
 
-        return fwd2, inv2
+        def inv2_dual(vr, vi, hr, hi):
+            (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(vr, vi, hr, hi, ph)
+            return pk2.ifft_w(a0r, a0i), pk2.ifft_w(a1r, a1i)
+
+        return fwd2, inv2, inv2_dual
 
     def fwd2(x):
         return pf.fft_h_split(*pf.fft_w_split(x))
@@ -110,7 +114,25 @@ def _fft_fns(backend: str, ph: int):
     def inv2(vr, vi):
         return pf.ifft_w_split(*pf.ifft_h_split(vr, vi))
 
-    return fwd2, inv2
+    def inv2_dual(vr, vi, hr, hi):
+        img = inv2(vr, vi)
+        fwd = inv2(vr * hr - vi * hi, vr * hi + vi * hr)
+        return img, fwd
+
+    return fwd2, inv2, inv2_dual
+
+    def fwd2(x):
+        return pf.fft_h_split(*pf.fft_w_split(x))
+
+    def inv2(vr, vi):
+        return pf.ifft_w_split(*pf.ifft_h_split(vr, vi))
+
+    def inv2_dual(vr, vi, hr, hi):
+        img = inv2(vr, vi)
+        fwd = inv2(vr * hr - vi * hi, vr * hi + vi * hr)
+        return img, fwd
+
+    return fwd2, inv2, inv2_dual
 
 
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
@@ -119,7 +141,7 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     cropped (H, W) reconstruction.  backend: "jax" | "pallas"."""
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = pre.padded_shape
-    fwd2, inv2 = _fft_fns(backend, ph)
+    fwd2, inv2, inv2_dual = _fft_fns(backend, ph)
     zeros = jnp.zeros((ph, pw), jnp.float32)
     state = dict(
         image=zeros, X=zeros, W=zeros, xi=zeros, rho=zeros,
@@ -144,11 +166,9 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
         # F_rk = A + conj(H) * B;   F_img = R * F_rk
         fr = pre.R * (ar + pre.Hr * br + pre.Hi * bi)
         fi = pre.R * (ai + pre.Hr * bi - pre.Hi * br)
-        image = inv2(fr, fi)
-        # forward_out = ifft(H * F_img)
-        gr = pre.Hr * fr - pre.Hi * fi
-        gi = pre.Hr * fi + pre.Hi * fr
-        forward_out = inv2(gr, gi)
+        # image = ifft(F_img); forward_out = ifft(H * F_img) — one
+        # fused dual inverse (spectrum read once, H-multiply in-kernel)
+        image, forward_out = inv2_dual(fr, fi, pre.Hr, pre.Hi)
 
         psi0, psi1 = _finite_diff(image)
         return dict(
