@@ -270,25 +270,37 @@ def main():
         # the headline rung gets a larger budget (12MP compiles are slow);
         # fallback rungs stay tight so a dead tunnel still degrades fast
         timeout = base_timeout * 2 if idx == 0 else base_timeout
-        try:
-            child_env = dict(
-                os.environ,
-                LPT_PALLAS_PRECISION=os.environ.get("BENCH_PALLAS_PRECISION",
-                                                    "default"),
-            )
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--rung", str(idx)],
-                capture_output=True, text=True, timeout=timeout, env=child_env,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"{label} rung timed out after {timeout}s", file=sys.stderr)
-            continue
-        sys.stderr.write(proc.stderr[-2000:])
-        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
-        if proc.returncode == 0 and lines:
-            print(lines[-1])
-            return
-        print(f"{label} rung failed (rc={proc.returncode})", file=sys.stderr)
+        # first attempt with bf16 inter-kernel spectrum storage (fast,
+        # quality-gated); if the gate or backend rejects it, retry the
+        # rung with exact f32 storage before degrading resolution
+        for split_io in (os.environ.get("BENCH_SPLIT_IO", "bf16"), "f32"):
+            try:
+                child_env = dict(
+                    os.environ,
+                    LPT_PALLAS_PRECISION=os.environ.get(
+                        "BENCH_PALLAS_PRECISION", "default"),
+                    LPT_SPLIT_IO=split_io,
+                )
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--rung",
+                     str(idx)],
+                    capture_output=True, text=True, timeout=timeout,
+                    env=child_env,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"{label} rung (io={split_io}) timed out after "
+                      f"{timeout}s", file=sys.stderr)
+                continue
+            sys.stderr.write(proc.stderr[-2000:])
+            lines = [ln for ln in proc.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            print(f"{label} rung failed (rc={proc.returncode}, io={split_io})",
+                  file=sys.stderr)
+            if split_io == "f32":
+                break
     raise RuntimeError("all benchmark rungs failed")
 
 

@@ -65,6 +65,16 @@ _PREC = (jax.lax.Precision.DEFAULT
          if _os.environ.get("LPT_PALLAS_PRECISION", "").lower() == "default"
          else jax.lax.Precision.HIGHEST)
 
+# Inter-kernel spectrum storage dtype.  LPT_SPLIT_IO=bf16 stores the
+# split-order spectra handed between kernels in bfloat16, halving the
+# dominant HBM traffic of the conv chain; kernels upcast on load and
+# compute in f32 (the MXU already runs bf16 at Precision.DEFAULT, so
+# this adds only storage rounding, ~3e-3 relative — quality-gated in
+# bench.py like the bf16 matmul path).  Default float32 is exact.
+_IO_DTYPE = (jnp.bfloat16
+             if _os.environ.get("LPT_SPLIT_IO", "").lower() == "bf16"
+             else jnp.float32)
+
 
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -86,8 +96,8 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
     twi = ti[:].T[:, :, None]
     if twiddle_first:
         # inverse: twiddle on the incoming [k1, j2] indices, then contract k1
-        xr3 = xr_ref[:]
-        xi3 = xi_ref[:]
+        xr3 = xr_ref[:].astype(jnp.float32)
+        xi3 = xi_ref[:].astype(jnp.float32)
         xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
         xr = xr3.reshape(n1, bj * bw)
         xi = xi3.reshape(n1, bj * bw)
@@ -95,8 +105,8 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
         zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
     else:
         # forward: contract j1, then twiddle on the produced [k1, j2]
-        xr = xr_ref[:].reshape(n1, bj * bw)
-        xi = xi_ref[:].reshape(n1, bj * bw)
+        xr = xr_ref[:].astype(jnp.float32).reshape(n1, bj * bw)
+        xi = xi_ref[:].astype(jnp.float32).reshape(n1, bj * bw)
         yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
         yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
         zr = yr * twr - yi * twi
@@ -104,8 +114,8 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
     if scale != 1.0:
         zr = zr * scale
         zi = zi * scale
-    or_ref[:] = zr
-    oi_ref[:] = zi
+    or_ref[:] = zr.astype(or_ref.dtype)
+    oi_ref[:] = zi.astype(oi_ref.dtype)
 
 
 def _pick_block(n, target):
@@ -141,13 +151,14 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
                            memory_space=pltpu.VMEM)
     TrT = jnp.swapaxes(Tr, 0, 1)  # (n2, n1)
     TiT = jnp.swapaxes(Ti, 0, 1)
+    out_dt = _IO_DTYPE
     return pl.pallas_call(
         partial(_h_passA_kernel, n1, bj, scale if inverse else 1.0, inverse),
         grid=(n2 // bj, w // bw),
         in_specs=[data_spec, data_spec, mat_spec, mat_spec, tw_spec, tw_spec],
         out_specs=(data_spec, data_spec),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2, w), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, w), out_dt),
+                   jax.ShapeDtypeStruct((n1, n2, w), out_dt)),
         interpret=_INTERPRET,
     )(xr, xi, F1r, F1i, TrT, TiT)
 
@@ -163,20 +174,21 @@ def _h_passB_kernel(n2, fuse_filter, yr_ref, yi_ref, *rest):
     else:
         f2r, f2i, or_ref, oi_ref = rest
     kb, _, bw = yr_ref.shape
-    yr = yr_ref[:]          # (kb, n2, bw)
-    yi = yi_ref[:]
+    yr = yr_ref[:].astype(jnp.float32)          # (kb, n2, bw)
+    yi = yi_ref[:].astype(jnp.float32)
     if fuse_filter:
         # spectrum multiply BEFORE the inverse contraction begins
-        yr, yi = (yr * fr_ref[:] - yi * fi_ref[:],
-                  yr * fi_ref[:] + yi * fr_ref[:])
+        fr = fr_ref[:].astype(jnp.float32)
+        fi = fi_ref[:].astype(jnp.float32)
+        yr, yi = (yr * fr - yi * fi, yr * fi + yi * fr)
     # fold the kb and w free axes so one (n2 x n2) matmul covers the block
     yr2 = jnp.swapaxes(yr, 0, 1).reshape(n2, kb * bw)
     yi2 = jnp.swapaxes(yi, 0, 1).reshape(n2, kb * bw)
     # z[k2, .] = sum_j2 F2[j2, k2] y[j2, .]  ->  F2^T @ y; F2 symmetric
     zr = _mm(f2r[:], yr2) - _mm(f2i[:], yi2)
     zi = _mm(f2r[:], yi2) + _mm(f2i[:], yr2)
-    or_ref[:] = jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1)
-    oi_ref[:] = jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1)
+    or_ref[:] = jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1).astype(or_ref.dtype)
+    oi_ref[:] = jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1).astype(oi_ref.dtype)
 
 
 def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None, kb=None):
@@ -196,8 +208,8 @@ def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None, kb=None):
         grid=(n1 // kb, w // bw),
         in_specs=in_specs,
         out_specs=(data_spec, data_spec),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2, w), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE),
+                   jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)),
         interpret=_INTERPRET,
     )(*ins, F2r, F2i)
 
@@ -236,7 +248,7 @@ def ifft_h(vr, vi, h, filt_r=None, filt_i=None):
 
 def _w_fwd_kernel(n1, n2, x_ref, f1r, f1i, f2r, f2i, trt, tit, or_ref, oi_ref):
     br = x_ref.shape[0]
-    xs = x_ref[:].reshape(br, n1, n2)
+    xs = x_ref[:].astype(jnp.float32).reshape(br, n1, n2)
     # stage 1: contract j1 -> (br, n2, n1)
     yr = jax.lax.dot_general(xs, f1r[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
@@ -259,15 +271,15 @@ def _w_fwd_kernel(n1, n2, x_ref, f1r, f1i, f2r, f2i, trt, tit, or_ref, oi_ref):
          jax.lax.dot_general(ti, f2r[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
-    or_ref[:] = zr.reshape(br, n1 * n2)
-    oi_ref[:] = zi.reshape(br, n1 * n2)
+    or_ref[:] = zr.reshape(br, n1 * n2).astype(or_ref.dtype)
+    oi_ref[:] = zi.reshape(br, n1 * n2).astype(oi_ref.dtype)
 
 
 def _w_inv_kernel(n1, n2, scale, vr_ref, vi_ref, f1r, f1i, f2r, f2i, trt, tit,
                   out_ref):
     br = vr_ref.shape[0]
-    xr = vr_ref[:].reshape(br, n1, n2)
-    xi = vi_ref[:].reshape(br, n1, n2)
+    xr = vr_ref[:].astype(jnp.float32).reshape(br, n1, n2)
+    xi = vi_ref[:].astype(jnp.float32).reshape(br, n1, n2)
     # inner: contract k2 -> (br, n1, j2)
     ar = jax.lax.dot_general(xr, f2r[:], (((2,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
@@ -312,8 +324,8 @@ def fft_w(x, block_rows=None):
         grid=(m // block_rows,),
         in_specs=[spec, m1, m1, m2, m2, mt, mt],
         out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((m, w), jnp.float32),
-                   jax.ShapeDtypeStruct((m, w), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((m, w), _IO_DTYPE),
+                   jax.ShapeDtypeStruct((m, w), _IO_DTYPE)),
         interpret=_INTERPRET,
     )(x, F1r, F1i, F2r, F2i, TrT, TiT)
 
@@ -352,6 +364,73 @@ def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=None):
 
 
 # ---------------------------------------------------------------------------
+# combine-fused forward pass B: stage 2 of the SECOND forward transform
+# with the ADMM spectrum combine fused in.  Emits
+#   f = R * (a + conj(H) * b)         (split-order planes)
+# where b is this kernel's stage-2 result and a is the first forward's
+# spectrum, read as an extra input — removes the separate XLA combine
+# pass (write b, re-read a/b/H/R) from the iteration.
+# ---------------------------------------------------------------------------
+
+
+def _h_passB_combine_kernel(n2, yr_ref, yi_ref, ar_ref, ai_ref, hr_ref,
+                            hi_ref, rr_ref, f2r, f2i, fr_out, fi_out):
+    kb, _, bw = yr_ref.shape
+    yr = yr_ref[:].astype(jnp.float32)
+    yi = yi_ref[:].astype(jnp.float32)
+    yr2 = jnp.swapaxes(yr, 0, 1).reshape(n2, kb * bw)
+    yi2 = jnp.swapaxes(yi, 0, 1).reshape(n2, kb * bw)
+    zr = _mm(f2r[:], yr2) - _mm(f2i[:], yi2)
+    zi = _mm(f2r[:], yi2) + _mm(f2i[:], yr2)
+    br = jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1)
+    bi = jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1)
+    ar = ar_ref[:].astype(jnp.float32)
+    ai = ai_ref[:].astype(jnp.float32)
+    hr = hr_ref[:].astype(jnp.float32)
+    hi = hi_ref[:].astype(jnp.float32)
+    rr = rr_ref[:].astype(jnp.float32)
+    # conj(H) * b = (hr*br + hi*bi, hr*bi - hi*br)
+    fr_out[:] = (rr * (ar + hr * br + hi * bi)).astype(fr_out.dtype)
+    fi_out[:] = (rr * (ai + hr * bi - hi * br)).astype(fi_out.dtype)
+
+
+def h_passB_combine(yr, yi, ar, ai, hr, hi, rr, n, bw=None, kb=None):
+    """Stage-2 contraction of y fused with f = R * (a + conj(H) * b)."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(n, False)
+    _, _, w = yr.shape
+    bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    F2r, F2i = _mats(n, False)[2:4]
+    shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
+    return pl.pallas_call(
+        partial(_h_passB_combine_kernel, n2),
+        grid=(n1 // kb, w // bw),
+        in_specs=[data_spec] * 7 + [mat_spec, mat_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(shape, shape),
+        interpret=_INTERPRET,
+    )(yr, yi, ar, ai, hr, hi, rr, F2r, F2i)
+
+
+def fft_h_combine(vr, vi, ar, ai, hr, hi, rr, h):
+    """Forward H transform of the second ADMM plane with the spectrum
+    combine fused into its stage-2 kernel.  All spectrum operands are
+    split-order (H, W) planes; returns (fr, fi) = R * (a + conj(H) b)."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(h, False)
+    w = vr.shape[-1]
+    ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w), h, False)
+    fr, fi = h_passB_combine(ya_r, ya_i,
+                             ar.reshape(n1, n2, w), ai.reshape(n1, n2, w),
+                             hr.reshape(n1, n2, w), hi.reshape(n1, n2, w),
+                             rr.reshape(n1, n2, w), h)
+    return fr.reshape(h, w), fi.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
 # dual-output inverse pass B: one spectrum read -> two filtered planes
 # (ADMM needs image = inv(F_img) and forward_out = inv(H * F_img))
 # ---------------------------------------------------------------------------
@@ -360,11 +439,11 @@ def filtered_synthesis_pallas2(x, filt_r, filt_i, block_rows=None):
 def _h_passB_dual_kernel(n2, yr_ref, yi_ref, hr_ref, hi_ref, f2r, f2i,
                          a0r_ref, a0i_ref, a1r_ref, a1i_ref):
     kb, _, bw = yr_ref.shape
-    yr = yr_ref[:]
-    yi = yi_ref[:]
+    yr = yr_ref[:].astype(jnp.float32)
+    yi = yi_ref[:].astype(jnp.float32)
     # plane 1 spectrum = H * y (fused multiply, one read of y)
-    hr = hr_ref[:]
-    hi = hi_ref[:]
+    hr = hr_ref[:].astype(jnp.float32)
+    hi = hi_ref[:].astype(jnp.float32)
     y1r = yr * hr - yi * hi
     y1i = yr * hi + yi * hr
 
@@ -378,10 +457,10 @@ def _h_passB_dual_kernel(n2, yr_ref, yi_ref, hr_ref, hi_ref, f2r, f2i,
 
     a0r, a0i = contract(yr, yi)
     a1r, a1i = contract(y1r, y1i)
-    a0r_ref[:] = a0r
-    a0i_ref[:] = a0i
-    a1r_ref[:] = a1r
-    a1i_ref[:] = a1i
+    a0r_ref[:] = a0r.astype(a0r_ref.dtype)
+    a0i_ref[:] = a0i.astype(a0i_ref.dtype)
+    a1r_ref[:] = a1r.astype(a1r_ref.dtype)
+    a1i_ref[:] = a1i.astype(a1i_ref.dtype)
 
 
 def h_passB_dual(yr, yi, hr, hi, n, bw=None, kb=None):
@@ -395,7 +474,7 @@ def h_passB_dual(yr, yi, hr, hi, n, bw=None, kb=None):
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
                             memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((n1, n2, w), jnp.float32)
+    shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
     return pl.pallas_call(
         partial(_h_passB_dual_kernel, n2),
         grid=(n1 // kb, w // bw),

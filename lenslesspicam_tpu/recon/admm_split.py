@@ -101,7 +101,10 @@ def _finite_diff_adj(u0, u1):
 
 
 def _fft_fns(backend: str, ph: int):
-    """(fwd2, inv2) full 2-D split-order transform pairs."""
+    """(fwd2, inv2, inv2_dual, fwd2_combine) full 2-D split-order
+    transform pairs; fwd2_combine (pallas only, else None) runs the
+    second forward with the ADMM spectrum combine fused into its
+    stage-2 kernel."""
     if backend == "pallas":
         from ..ops import pallas_kernels2 as pk2
 
@@ -117,7 +120,11 @@ def _fft_fns(backend: str, ph: int):
             (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(vr, vi, hr, hi, ph)
             return pk2.ifft_w(a0r, a0i), pk2.ifft_w(a1r, a1i)
 
-        return fwd2, inv2, inv2_dual
+        def fwd2_combine(v, ar, ai, hr, hi, rr):
+            wr, wi = pk2.fft_w(v)
+            return pk2.fft_h_combine(wr, wi, ar, ai, hr, hi, rr, ph)
+
+        return fwd2, inv2, inv2_dual, fwd2_combine
 
     def fwd2(x):
         return pf.fft_h_split(*pf.fft_w_split(x))
@@ -130,7 +137,7 @@ def _fft_fns(backend: str, ph: int):
         fwd = inv2(vr * hr - vi * hi, vr * hi + vi * hr)
         return img, fwd
 
-    return fwd2, inv2, inv2_dual
+    return fwd2, inv2, inv2_dual, None
 
 
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
@@ -139,7 +146,16 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     cropped (H, W) reconstruction.  backend: "jax" | "pallas"."""
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = pre.padded_shape
-    fwd2, inv2, inv2_dual = _fft_fns(backend, ph)
+    fwd2, inv2, inv2_dual, fwd2_combine = _fft_fns(backend, ph)
+    # inter-kernel storage dtype of the pallas backend (LPT_SPLIT_IO);
+    # spectra and filter constants ride HBM at this width, arithmetic
+    # stays f32 (upcast where it matters)
+    io = jnp.float32
+    if backend == "pallas":
+        from ..ops import pallas_kernels2 as _pk2
+        io = _pk2._IO_DTYPE
+    Hr_c, Hi_c, R_c = (jnp.asarray(pre.Hr, io), jnp.asarray(pre.Hi, io),
+                       jnp.asarray(pre.R, io))
     zeros = jnp.zeros((ph, pw), jnp.float32)
     # X / W / U are recomputed each iteration from the carried duals and
     # image — keeping only what the next iteration actually reads saves
@@ -162,14 +178,21 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
         v = mu1 * X - s["xi"]
 
         # forward transforms (split order)
-        ar, ai = fwd2(rk_spatial)
-        br, bi = fwd2(v)
-        # F_rk = A + conj(H) * B;   F_img = R * F_rk
-        fr = pre.R * (ar + pre.Hr * br + pre.Hi * bi)
-        fi = pre.R * (ai + pre.Hr * bi - pre.Hi * br)
+        ar, ai = fwd2(rk_spatial.astype(io))
+        if fwd2_combine is not None:
+            # second forward with F_img = R * (A + conj(H) B) fused into
+            # its stage-2 kernel (no separate combine pass over HBM)
+            fr, fi = fwd2_combine(v.astype(io), ar, ai, Hr_c, Hi_c, R_c)
+        else:
+            br, bi = fwd2(v.astype(io))
+            f32 = jnp.float32
+            ar_, ai_, br_, bi_ = (t.astype(f32) for t in (ar, ai, br, bi))
+            Hr_, Hi_, R_ = (t.astype(f32) for t in (Hr_c, Hi_c, R_c))
+            fr = (R_ * (ar_ + Hr_ * br_ + Hi_ * bi_)).astype(io)
+            fi = (R_ * (ai_ + Hr_ * bi_ - Hi_ * br_)).astype(io)
         # image = ifft(F_img); forward_out = ifft(H * F_img) — one
         # fused dual inverse (spectrum read once, H-multiply in-kernel)
-        image, forward_out = inv2_dual(fr, fi, pre.Hr, pre.Hi)
+        image, forward_out = inv2_dual(fr, fi, Hr_c, Hi_c)
 
         psi0, psi1 = _finite_diff(image)
         return dict(
