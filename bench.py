@@ -111,7 +111,7 @@ def verify_split(jax):
         conv = admm.make_convolver(psf2d[None, :, :, None])
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
-    backend = os.environ.get("BENCH_FFT_BACKEND", "pallas")
+    backend = os.environ.get("BENCH_FFT_BACKEND", "fused")
     pre = admm_split.precompute_split(psf2d, data2d)
     try:
         out = np.asarray(admm_split.run_split_jit(pre, n_iter=10, backend=backend))
@@ -201,9 +201,10 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     psf2d /= np.linalg.norm(psf2d)
     data2d = rng.rand(*shape).astype(np.float32)
 
-    backends = [os.environ.get("BENCH_FFT_BACKEND", "pallas")]
-    if backends[0] != "jax":
-        backends.append("jax")
+    backends = [os.environ.get("BENCH_FFT_BACKEND", "fused")]
+    for fb in ("pallas", "jax"):
+        if fb not in backends:
+            backends.append(fb)
     for backend in backends:
         try:
             pre = admm_split.precompute_split(psf2d, data2d)

@@ -246,64 +246,81 @@ def ifft_h(vr, vi, h, filt_r=None, filt_i=None):
 # ---------------------------------------------------------------------------
 
 
-def _w_fwd_kernel(n1, n2, x_ref, f1r, f1i, f2r, f2i, trt, tit, or_ref, oi_ref):
-    br = x_ref.shape[0]
-    xs = x_ref[:].astype(jnp.float32).reshape(br, n1, n2)
+def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit):
+    """Two-stage split-order forward W transform of (br, n1*n2) rows;
+    returns (zr, zi) as (br, n1*n2) f32."""
+    br = x2d.shape[0]
+    xs = x2d.reshape(br, n1, n2)
     # stage 1: contract j1 -> (br, n2, n1)
-    yr = jax.lax.dot_general(xs, f1r[:], (((1,), (1,)), ((), ())),
+    yr = jax.lax.dot_general(xs, f1r, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
-    yi = jax.lax.dot_general(xs, f1i[:], (((1,), (1,)), ((), ())),
+    yi = jax.lax.dot_general(xs, f1i, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
-    tr = yr * trt[:] - yi * tit[:]
-    ti = yr * tit[:] + yi * trt[:]
+    tr = yr * trt - yi * tit
+    ti = yr * tit + yi * trt
     # stage 2: contract j2 -> (br, n1, n2)
-    zr = jax.lax.dot_general(tr, f2r[:], (((1,), (0,)), ((), ())),
+    zr = jax.lax.dot_general(tr, f2r, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC) - \
-         jax.lax.dot_general(ti, f2i[:], (((1,), (0,)), ((), ())),
+         jax.lax.dot_general(ti, f2i, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
-    zi = jax.lax.dot_general(tr, f2i[:], (((1,), (0,)), ((), ())),
+    zi = jax.lax.dot_general(tr, f2i, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC) + \
-         jax.lax.dot_general(ti, f2r[:], (((1,), (0,)), ((), ())),
+         jax.lax.dot_general(ti, f2r, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
-    or_ref[:] = zr.reshape(br, n1 * n2).astype(or_ref.dtype)
-    oi_ref[:] = zi.reshape(br, n1 * n2).astype(oi_ref.dtype)
+    return zr.reshape(br, n1 * n2), zi.reshape(br, n1 * n2)
+
+
+def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit):
+    """Two-stage split-order inverse W transform; returns the real part
+    as (br, n1*n2) f32."""
+    br = xr2d.shape[0]
+    xr = xr2d.reshape(br, n1, n2)
+    xi = xi2d.reshape(br, n1, n2)
+    # inner: contract k2 -> (br, n1, j2)
+    ar = jax.lax.dot_general(xr, f2r, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) - \
+         jax.lax.dot_general(xi, f2i, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
+    ai = jax.lax.dot_general(xr, f2i, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) + \
+         jax.lax.dot_general(xi, f2r, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
+    # twiddle T[k1, j2] = trt^T
+    tr_ = ar * trt.T - ai * tit.T
+    ti_ = ar * tit.T + ai * trt.T
+    # outer: contract k1 -> (br, j2, j1); only the real part is needed
+    zr = jax.lax.dot_general(tr_, f1r, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC) - \
+         jax.lax.dot_general(ti_, f1i, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
+    return (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
+
+
+def _w_fwd_kernel(n1, n2, x_ref, f1r, f1i, f2r, f2i, trt, tit, or_ref, oi_ref):
+    zr, zi = _w_fwd_core(x_ref[:].astype(jnp.float32), n1, n2,
+                         f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
+    or_ref[:] = zr.astype(or_ref.dtype)
+    oi_ref[:] = zi.astype(oi_ref.dtype)
 
 
 def _w_inv_kernel(n1, n2, scale, vr_ref, vi_ref, f1r, f1i, f2r, f2i, trt, tit,
                   out_ref):
-    br = vr_ref.shape[0]
-    xr = vr_ref[:].astype(jnp.float32).reshape(br, n1, n2)
-    xi = vi_ref[:].astype(jnp.float32).reshape(br, n1, n2)
-    # inner: contract k2 -> (br, n1, j2)
-    ar = jax.lax.dot_general(xr, f2r[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC) - \
-         jax.lax.dot_general(xi, f2i[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC)
-    ai = jax.lax.dot_general(xr, f2i[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC) + \
-         jax.lax.dot_general(xi, f2r[:], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC)
-    # twiddle T[k1, j2] = trt^T
-    tr_ = ar * trt[:].T - ai * tit[:].T
-    ti_ = ar * tit[:].T + ai * trt[:].T
-    # outer: contract k1 -> (br, j2, j1); only the real part is needed
-    zr = jax.lax.dot_general(tr_, f1r[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC) - \
-         jax.lax.dot_general(ti_, f1i[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC)
-    out_ref[:] = (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
+    out = _w_inv_core(vr_ref[:].astype(jnp.float32),
+                      vi_ref[:].astype(jnp.float32), n1, n2, scale,
+                      f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def fft_w(x, block_rows=None):
@@ -330,7 +347,7 @@ def fft_w(x, block_rows=None):
     )(x, F1r, F1i, F2r, F2i, TrT, TiT)
 
 
-def ifft_w(vr, vi, block_rows=None):
+def ifft_w(vr, vi, block_rows=None, out_dtype=jnp.float32):
     m, w = vr.shape
     block_rows = block_rows or _w_block_rows(m, w)
     F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, True)
@@ -348,7 +365,7 @@ def ifft_w(vr, vi, block_rows=None):
         grid=(m // block_rows,),
         in_specs=[spec, spec, m1, m1, m2, m2, mt, mt],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((m, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, w), out_dtype),
         interpret=_INTERPRET,
     )(vr, vi, F1r, F1i, F2r, F2i, TrT, TiT)
 
@@ -483,6 +500,180 @@ def h_passB_dual(yr, yi, hr, hi, n, bw=None, kb=None):
         out_shape=(shape,) * 4,
         interpret=_INTERPRET,
     )(yr, yi, hr, hi, F2r, F2i)
+
+
+# ---------------------------------------------------------------------------
+# fused ADMM state kernels.  The entire per-iteration elementwise state
+# update rides inside the two W-axis kernels, so state planes cross HBM
+# once per iteration instead of once per XLA fusion pass:
+#
+#   E1 (pre-transform):  carried (image, fwd, xi, rho, eta, U) ->
+#       deferred eta update, U/X/W updates, rk/v assembly, and the
+#       forward W transform of BOTH rk and v — one kernel.
+#       The TV finite differences need one halo row along H; the kernel
+#       reads the image / eta0 / U0 planes through additional
+#       block-shifted refs ((i±1) mod nb) and recomputes the one
+#       overlap row instead of communicating across grid steps.
+#   E2 (post-transform): inverse W transform of both spectra + the
+#       xi/rho updates (row-local, no halos).
+#
+# Equivalence to the reference ordering (lensless/recon/admm.py update
+# sequence): the eta update eta' = eta + mu2*(Psi x_new - u) needs the
+# NEW image, so it is deferred to the next iteration's E1 (which holds
+# image_new with halos); carrying u makes this exact, and iteration 0
+# matches because all carried planes start at zero.
+# ---------------------------------------------------------------------------
+
+
+def _soft(x, thr):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thr, 0.0)
+
+
+def _e1_kernel(n1, n2, mu1, mu2, mu3, tau,
+               imgp_ref, imgc_ref, imgn_ref, eta0c_ref, eta0n_ref, eta1_ref,
+               u0c_ref, u0n_ref, u1_ref, rho_ref, xi_ref, fwd_ref,
+               xd_ref, dp_ref, f1r, f1i, f2r, f2i, trt, tit,
+               rkr_ref, rki_ref, vr_ref, vi_ref,
+               eta0o_ref, eta1o_ref, u0o_ref, u1o_ref, xo_ref):
+    f32 = jnp.float32
+    img_c = imgc_ref[:].astype(f32)
+    # extended image rows [i*br - 1, (i+1)*br]: psi0 needs row-above,
+    # the adjoint needs psi0/U0 one row below the block
+    ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
+                            imgn_ref[:].astype(f32)[:1]], axis=0)
+    psi0_ext = ximg[:-1] - ximg[1:]                       # rows [0, br]
+    eta0_ext = jnp.concatenate([eta0c_ref[:], eta0n_ref[:][:1]], axis=0)
+    u0_ext = jnp.concatenate([u0c_ref[:], u0n_ref[:][:1]], axis=0)
+    # deferred eta update (needs psi of the CURRENT image, i.e. the one
+    # produced after last iteration's U update)
+    eta0_eff = eta0_ext + mu2 * (psi0_ext - u0_ext)
+    thr = tau / mu2
+    u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
+    a0 = mu2 * u0_new - eta0_eff
+    adj0 = a0[1:] - a0[:-1]                               # (br, w)
+    eta0o_ref[:] = eta0_eff[:-1]
+    u0o_ref[:] = u0_new[:-1].astype(u0o_ref.dtype)
+
+    # W-axis TV component: fully in-block (periodic roll along lanes)
+    psi1 = jnp.concatenate([img_c[:, -1:], img_c[:, :-1]], axis=1) - img_c
+    eta1_eff = eta1_ref[:] + mu2 * (psi1 - u1_ref[:].astype(f32))
+    u1_new = _soft(psi1 + eta1_eff / mu2, thr)
+    a1 = mu2 * u1_new - eta1_eff
+    adj1 = jnp.concatenate([a1[:, 1:], a1[:, :1]], axis=1) - a1
+    eta1o_ref[:] = eta1_eff
+    u1o_ref[:] = u1_new.astype(u1o_ref.dtype)
+
+    rho = rho_ref[:]
+    W = jnp.maximum(rho / mu3 + img_c, 0.0)
+    rk = (mu3 * W - rho) + adj0 + adj1
+    xi = xi_ref[:]
+    X = xd_ref[:] * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:])
+    xo_ref[:] = X
+    v = mu1 * X - xi
+
+    mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
+    zr, zi = _w_fwd_core(rk, n1, n2, *mats)
+    rkr_ref[:] = zr.astype(rkr_ref.dtype)
+    rki_ref[:] = zi.astype(rki_ref.dtype)
+    zr, zi = _w_fwd_core(v, n1, n2, *mats)
+    vr_ref[:] = zr.astype(vr_ref.dtype)
+    vi_ref[:] = zi.astype(vi_ref.dtype)
+
+
+def _e2_kernel(n1, n2, scale, mu1, mu3,
+               a0r_ref, a0i_ref, a1r_ref, a1i_ref, xi_ref, x_ref, rho_ref,
+               imgo_ref, f1r, f1i, f2r, f2i, trt, tit,
+               img_ref, fwd_ref, xio_ref, rhoo_ref):
+    f32 = jnp.float32
+    mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
+    image = _w_inv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
+                        n1, n2, scale, *mats)
+    fwd = _w_inv_core(a1r_ref[:].astype(f32), a1i_ref[:].astype(f32),
+                      n1, n2, scale, *mats)
+    img_ref[:] = image.astype(img_ref.dtype)
+    fwd_ref[:] = fwd.astype(fwd_ref.dtype)
+    xi = xi_ref[:]
+    xio_ref[:] = xi + mu1 * (fwd - x_ref[:])
+    rho = rho_ref[:]
+    W = jnp.maximum(rho / mu3 + imgo_ref[:].astype(f32), 0.0)
+    rhoo_ref[:] = rho + mu3 * (image - W)
+
+
+def _e_block_rows(m, w):
+    """Row-block for the fused state kernels: ~30 block-sized buffers
+    live in VMEM (in/out double buffering + TV intermediates)."""
+    return _pick_block(m, 8)
+
+
+def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
+             mu1, mu2, mu3, tau, block_rows=None):
+    """Fused ADMM pre-transform step; see module comment.  Returns
+    (rk_wr, rk_wi, v_wr, v_wi, eta0', eta1', u0', u1', X)."""
+    m, w = xi.shape
+    br = block_rows or _e_block_rows(m, w)
+    nb = m // br
+    F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, False)
+    mats = (jnp.asarray(F1r_np), jnp.asarray(F1i_np), jnp.asarray(F2r_np),
+            jnp.asarray(F2i_np), jnp.asarray(np.ascontiguousarray(Tr_np.T)),
+            jnp.asarray(np.ascontiguousarray(Ti_np.T)))
+    spec_c = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((br, w), lambda i: ((i - 1) % nb, 0),
+                          memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((br, w), lambda i: ((i + 1) % nb, 0),
+                          memory_space=pltpu.VMEM)
+    m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m2 = pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    io_sh = jax.ShapeDtypeStruct((m, w), _IO_DTYPE)
+    f32_sh = jax.ShapeDtypeStruct((m, w), f32)
+    return pl.pallas_call(
+        partial(_e1_kernel, n1, n2, mu1, mu2, mu3, tau),
+        grid=(nb,),
+        in_specs=[spec_p, spec_c, spec_n,          # image halo refs
+                  spec_c, spec_n,                  # eta0
+                  spec_c,                          # eta1
+                  spec_c, spec_n,                  # u0
+                  spec_c,                          # u1
+                  spec_c, spec_c, spec_c,          # rho, xi, fwd
+                  spec_c, spec_c,                  # Xd, dp
+                  m1, m1, m2, m2, mt, mt],
+        out_specs=(spec_c,) * 9,
+        out_shape=(io_sh, io_sh, io_sh, io_sh,     # rk/v W-spectra
+                   f32_sh, f32_sh,                 # eta'
+                   io_sh, io_sh,                   # u'
+                   f32_sh),                        # X
+        interpret=_INTERPRET,
+    )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi, fwd,
+      xd, dp, *mats)
+
+
+def e2_fused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
+             block_rows=None):
+    """Fused ADMM post-transform step; see module comment.  Returns
+    (image', fwd', xi', rho')."""
+    m, w = xi.shape
+    br = block_rows or _e_block_rows(m, w)
+    nb = m // br
+    F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, True)
+    mats = (jnp.asarray(F1r_np), jnp.asarray(F1i_np), jnp.asarray(F2r_np),
+            jnp.asarray(F2i_np), jnp.asarray(np.ascontiguousarray(Tr_np.T)),
+            jnp.asarray(np.ascontiguousarray(Ti_np.T)))
+    spec_c = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m2 = pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    io_sh = jax.ShapeDtypeStruct((m, w), _IO_DTYPE)
+    f32_sh = jax.ShapeDtypeStruct((m, w), f32)
+    return pl.pallas_call(
+        partial(_e2_kernel, n1, n2, scale, mu1, mu3),
+        grid=(nb,),
+        in_specs=[spec_c] * 8 + [m1, m1, m2, m2, mt, mt],
+        out_specs=(spec_c,) * 4,
+        out_shape=(io_sh, io_sh, f32_sh, f32_sh),
+        interpret=_INTERPRET,
+    )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, *mats)
 
 
 def ifft_h_dual(vr, vi, hr, hi, h):

@@ -118,7 +118,11 @@ def _fft_fns(backend: str, ph: int):
 
         def inv2_dual(vr, vi, hr, hi):
             (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(vr, vi, hr, hi, ph)
-            return pk2.ifft_w(a0r, a0i), pk2.ifft_w(a1r, a1i)
+            # image / forward_out ride the carry at the IO width too —
+            # they are recomputed every iteration (no accumulation), so
+            # bf16 storage only adds per-iteration rounding
+            return (pk2.ifft_w(a0r, a0i, out_dtype=pk2._IO_DTYPE),
+                    pk2.ifft_w(a1r, a1i, out_dtype=pk2._IO_DTYPE))
 
         def fwd2_combine(v, ar, ai, hr, hi, rr):
             wr, wi = pk2.fft_w(v)
@@ -140,10 +144,51 @@ def _fft_fns(backend: str, ph: int):
     return fwd2, inv2, inv2_dual, None
 
 
+def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
+                    n_iter: int = 100) -> jax.Array:
+    """Fully-fused grayscale ADMM: the per-iteration elementwise state
+    updates ride inside the W-axis Pallas kernels (pallas_kernels2.e1_fused
+    / e2_fused), so state planes cross HBM once per iteration.  The eta
+    update is deferred one iteration (exactly equivalent — carried U
+    planes; see the kernel module comment).  Reference update ordering:
+    lensless/recon/admm.py."""
+    from ..ops import pallas_kernels2 as pk2
+
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+    ph, pw = pre.padded_shape
+    io = pk2._IO_DTYPE
+    Hr_c, Hi_c, R_c = (jnp.asarray(pre.Hr, io), jnp.asarray(pre.Hi, io),
+                       jnp.asarray(pre.R, io))
+    zeros = jnp.zeros((ph, pw), jnp.float32)
+    zeros_io = jnp.zeros((ph, pw), io)
+    state = dict(image=zeros_io, fwd=zeros_io, xi=zeros, rho=zeros,
+                 eta0=zeros, eta1=zeros, u0=zeros_io, u1=zeros_io)
+
+    def body(_, s):
+        (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_fused(
+            s["image"], s["fwd"], s["xi"], s["rho"], s["eta0"], s["eta1"],
+            s["u0"], s["u1"], pre.X_divmat, pre.data_pad, mu1, mu2, mu3, tau)
+        ar, ai = pk2.fft_h(rkr, rki, ph)
+        fr, fi = pk2.fft_h_combine(vr_, vi_, ar, ai, Hr_c, Hi_c, R_c, ph)
+        (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
+        imgn, fwdn, xin, rhon = pk2.e2_fused(a0r, a0i, a1r, a1i, s["xi"], X,
+                                             s["rho"], s["image"], mu1, mu3)
+        return dict(image=imgn, fwd=fwdn, xi=xin, rho=rhon,
+                    eta0=eta0n, eta1=eta1n, u0=u0n, u1=u1n)
+
+    state = jax.lax.fori_loop(0, n_iter, body, state)
+    sy, sx = pre.start
+    nh, nw = pre.psf_shape
+    crop = state["image"][sy : sy + nh, sx : sx + nw].astype(jnp.float32)
+    return jnp.maximum(crop, 0.0)
+
+
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
               n_iter: int = 100, backend: str = "jax") -> jax.Array:
     """Grayscale single-image ADMM on the split-FFT backend; returns the
-    cropped (H, W) reconstruction.  backend: "jax" | "pallas"."""
+    cropped (H, W) reconstruction.  backend: "jax" | "pallas" | "fused"."""
+    if backend == "fused":
+        return run_split_fused(pre, params, n_iter)
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = pre.padded_shape
     fwd2, inv2, inv2_dual, fwd2_combine = _fft_fns(backend, ph)
@@ -157,13 +202,16 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     Hr_c, Hi_c, R_c = (jnp.asarray(pre.Hr, io), jnp.asarray(pre.Hi, io),
                        jnp.asarray(pre.R, io))
     zeros = jnp.zeros((ph, pw), jnp.float32)
+    zeros_io = jnp.zeros((ph, pw), io)
     # X / W / U are recomputed each iteration from the carried duals and
     # image — keeping only what the next iteration actually reads saves
-    # 4 full-plane HBM writes per iteration (~0.8 GB at 12MP).
+    # 4 full-plane HBM writes per iteration (~0.8 GB at 12MP).  The
+    # accumulating duals stay f32; the per-iteration planes (image,
+    # forward_out, psi) ride the carry at the IO width.
     state = dict(
-        image=zeros, xi=zeros, rho=zeros,
+        image=zeros_io, xi=zeros, rho=zeros,
         eta0=zeros, eta1=zeros,
-        forward_out=zeros, psi0=zeros, psi1=zeros,
+        forward_out=zeros_io, psi0=zeros_io, psi1=zeros_io,
     )
 
     def body(_, s):
@@ -207,13 +255,15 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     state = jax.lax.fori_loop(0, n_iter, body, state)
     sy, sx = pre.start
     nh, nw = pre.psf_shape
-    return jnp.maximum(state["image"][sy : sy + nh, sx : sx + nw], 0.0)
+    crop = state["image"][sy : sy + nh, sx : sx + nw].astype(jnp.float32)
+    return jnp.maximum(crop, 0.0)
 
 
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start", "backend"))
+@partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start",
+                                   "params", "backend"))
 def _run_split_jit(Hr, Hi, R, X_divmat, data_pad, psf_shape, padded_shape,
                    start, params, n_iter, backend):
     pre = SplitPrecomp(Hr, Hi, R, X_divmat, data_pad, psf_shape,

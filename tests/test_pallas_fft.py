@@ -131,6 +131,30 @@ def test_pallas2_pipeline_interpret():
         pk2._set_interpret(False)
 
 
+def test_admm_split_fused_matches_jax_backend():
+    """Fully-fused Pallas ADMM (e1/e2 state kernels, deferred eta) ==
+    the unfused split backend at f32 (interpret mode)."""
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.recon import admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    pk2._set_interpret(True)
+    try:
+        rng = np.random.RandomState(11)
+        psf2d = rng.rand(48, 64).astype(np.float32)
+        psf2d /= np.linalg.norm(psf2d)
+        data2d = rng.rand(48, 64).astype(np.float32)
+        pre = admm_split.precompute_split(psf2d, data2d)
+        ref = np.asarray(admm_split.run_split_jit(pre, ADMMParams(), 10,
+                                                  backend="jax"))
+        out = np.asarray(admm_split.run_split_jit(pre, ADMMParams(), 10,
+                                                  backend="fused"))
+        scale = max(np.abs(ref).max(), 1e-9)
+        np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+    finally:
+        pk2._set_interpret(False)
+
+
 def test_admm_split_general_batched_rgb_3d():
     """Batched RGB multi-depth split solver == standard solver."""
     import jax
