@@ -34,6 +34,13 @@ import numpy as np
 
 from .image import resize as _resize
 
+try:
+    import cv2
+
+    _INTER_NEAREST = cv2.INTER_NEAREST
+except Exception:  # pragma: no cover
+    _INTER_NEAREST = 0
+
 available_datasets = {
     "diffusercam_mirflickr": {
         "size (GB)": 7.58,
@@ -378,24 +385,48 @@ class MeasuredDataset(DualDataset):
 class HFDataset(DualDataset):
     """Hugging-Face-hosted measured dataset (dataset.py:1423-2065).
 
-    Requires the ``datasets`` package and network/cache access; geometry
-    handling (alignment from display_res, crop, downsample, rotate,
-    measured background 'ambient' key, multimask per-sample PSFs) follows
-    the reference.
+    Requires the ``datasets`` package and network/cache access.  Full
+    reference feature set:
+
+    * PSF download (``psf=``) with ``flip=rotate``, ``shape`` matched to
+      the downsampled lensless sample and ``bg_pix=(0, 15)``
+      (dataset.py:1579-1589), or on-the-fly PSF *simulation* from stored
+      mask patterns via :class:`AdafruitLCD` — single-mask
+      (``mask_pattern.npy``) or multimask per-sample PSFs keyed by the
+      ``mask_label`` column (dataset.py:1613-1650);
+    * PSF noise injection at ``psf_snr`` dB (dataset.py:1596-1607);
+    * alignment/crop geometry scaled by ``downsample``
+      (dataset.py:1540-1571) and an optional ``FarFieldSimulator`` built
+      from ``alignment["simulation"]`` (dataset.py:1660-1675);
+    * measured backgrounds ('ambient' column) and *simulated*
+      backgrounds added at a random SNR drawn from ``bg_snr_range``
+      (dataset.py:1677-1694, 1894-1907);
+    * random-flip augmentation returning flip flags + flipped PSF
+      (dataset.py:1857-1892) — deterministic per (seed, epoch, idx) so
+      ``extra_fields`` reproduces the draw made by ``__getitem__``.
     """
 
-    def __init__(self, huggingface_repo, split="test", psf=None,
+    def __init__(self, huggingface_repo, split="test", n_files=None, psf=None,
                  display_res=None, alignment=None, rotate=False,
                  flipud=False, flip_lensed=False, downsample=1,
                  downsample_lensed=1, single_channel_psf=False,
-                 simulation=None, **kwargs):
+                 psf_snr=None, sensor="rpi_hq", slm="adafruit",
+                 return_mask_label=False, save_psf=False,
+                 simulation=None, simulate_lensless=False, force_rgb=False,
+                 cache_dir=None, random_flip=False, bg_snr_range=None,
+                 bg_fp=None, **kwargs):
         super().__init__(**kwargs)
-        try:
-            from datasets import load_dataset
-        except ImportError as e:
-            raise ImportError("HFDataset requires the `datasets` package") from e
-
-        self.ds = load_dataset(huggingface_repo, split=split)
+        if isinstance(split, str):
+            try:
+                from datasets import load_dataset
+            except ImportError as e:
+                raise ImportError("HFDataset requires the `datasets` package") from e
+            if n_files is not None:
+                split = f"{split}[0:{n_files}]"
+            self.ds = load_dataset(huggingface_repo, split=split,
+                                   cache_dir=cache_dir)
+        else:  # pre-loaded Dataset object (reference dataset.py:1500-1506)
+            self.ds = split
         self.repo = huggingface_repo
         self.rotate = rotate
         self.flipud = flipud
@@ -403,22 +434,45 @@ class HFDataset(DualDataset):
         self.downsample_lensless = downsample
         self.downsample_lensed = downsample_lensed
         self.display_res = display_res
-        self.simulation_config = simulation
+        self.simulation_config = simulation or {}
+        self.sensor = sensor
+        self.slm = slm
+        self.force_rgb = force_rgb
+        self.return_mask_label = return_mask_label
+        self.random_flip = random_flip
+        self._flip_seed = kwargs.get("seed", 0)
+        self._epoch = 0
 
-        # alignment geometry (dataset.py:1540-1571)
+        # probe first sample for geometry (dataset.py:1522-1536)
+        data_0 = self.ds[0]
+        lensless0 = np.asarray(data_0["lensless"])
+        if self.downsample_lensless != 1:
+            lensless0 = _resize(lensless0[None].astype(np.float32),
+                                factor=1 / self.downsample_lensless)[0]
+        self._lensless_shape = lensless0.shape[:2]
+
+        # alignment geometry, scaled by downsample (dataset.py:1540-1571)
         if alignment is not None:
-            if "top_left" in alignment:
+            top_left = alignment.get("top_left", alignment.get("topright"))
+            if top_left is not None:
                 self.alignment = dict(alignment)
-                height = self.alignment["height"]
-                if "width" not in self.alignment:
+                self.alignment["top_left"] = (
+                    int(top_left[0] / downsample), int(top_left[1] / downsample))
+                self.alignment["height"] = int(alignment["height"] / downsample)
+                if "width" in alignment:
+                    self.alignment["width"] = int(alignment["width"] / downsample)
+                else:
                     assert display_res is not None
                     self.alignment["width"] = int(
-                        height * display_res[1] / display_res[0]
-                    )
-            elif "crop" in alignment:
-                self.crop = alignment["crop"]
+                        self.alignment["height"] * display_res[1] / display_res[0])
+            elif alignment.get("crop") is not None:
+                self.crop = {
+                    k: [int(v[0] / downsample), int(v[1] / downsample)]
+                    for k, v in alignment["crop"].items()
+                }
 
-        # PSF: download from repo or simulate from mask pattern
+        # PSF: download from repo, or simulate from mask pattern(s)
+        self.multimask = False
         if psf is not None:
             from huggingface_hub import hf_hub_download
 
@@ -426,22 +480,144 @@ class HFDataset(DualDataset):
                                      repo_type="dataset")
             from .io import load_psf
 
+            # reference passes flip=rotate, shape matched to the
+            # (downsampled) lensless sample, bg_pix=(0, 15)
+            # (dataset.py:1580-1589)
             self.psf = load_psf(
-                psf_fp, downsample=downsample, single_psf=single_channel_psf,
-                flip_ud=flipud,
+                psf_fp, shape=tuple(self._lensless_shape) + (3,),
+                return_float=True,
+                flip=self.rotate, flip_ud=flipud, bg_pix=(0, 15),
+                force_rgb=force_rgb, single_psf=single_channel_psf,
             )
             if single_channel_psf:
                 self.psf = np.repeat(self.psf, 3, axis=-1)
+            if psf_snr is not None:
+                # Gaussian noise at target SNR (dataset.py:1596-1607)
+                rng = np.random.RandomState(self._flip_seed)
+                noise = rng.randn(*self.psf.shape).astype(np.float32)
+                noise *= np.sqrt(self.psf.var() / noise.var()) / 10 ** (psf_snr / 20)
+                self.psf = self.psf + noise
+        elif "mask_label" in self.ds.column_names:
+            # multimask: simulate one PSF per mask label (1613-1634)
+            self.multimask = True
+            labels = sorted({self.ds[i]["mask_label"] for i in range(len(self.ds))})
+            self.mask_labels = labels
+            self.psf = {lab: np.asarray(self.simulate_psf(self.get_mask_vals(lab)))
+                        for lab in labels}
+        else:
+            # single mask pattern (1640-1650)
+            from huggingface_hub import hf_hub_download
+
+            mask_fp = hf_hub_download(repo_id=huggingface_repo,
+                                      filename="mask_pattern.npy",
+                                      repo_type="dataset")
+            self.psf = np.asarray(self.simulate_psf(np.load(mask_fp)))
+        if save_psf and not isinstance(self.psf, dict):
+            from .io import save_image
+
+            save_image(np.asarray(self.psf).squeeze(), f"{split}_psf.png")
+
+        # simulator from alignment["simulation"] (dataset.py:1654-1675)
+        self.simulate_lensless = simulate_lensless
+        self.simulator = None
+        if alignment is not None and "simulation" in alignment:
+            from .simulation import FarFieldSimulator
+
+            sim_cfg = dict(alignment["simulation"])
+            ref_psf = (next(iter(self.psf.values())) if isinstance(self.psf, dict)
+                       else self.psf)
+            sim_cfg["output_dim"] = tuple(np.asarray(ref_psf).shape[-3:-1])
+            for key in ("vertical_shift", "horizontal_shift"):
+                if sim_cfg.get(key) is not None:
+                    sim_cfg[key] = int(sim_cfg[key] / downsample)
+            sim_cfg.pop("random_vflip", None)
+            sim_cfg.pop("random_hflip", None)
+            self.simulator = FarFieldSimulator(
+                psf=ref_psf if simulate_lensless else None, **sim_cfg)
+
+        # simulated background at random SNR (dataset.py:1677-1694)
+        self.bg_sim = None
+        self.bg_snr_range = bg_snr_range
+        if bg_fp is not None:
+            assert bg_snr_range is not None, (
+                "bg_snr_range must accompany a background file")
+            from .io import load_image
+
+            bg = load_image(bg_fp, shape=tuple(self._lensless_shape) + (3,),
+                            return_float=True, flip=rotate)
+            self.bg_sim = np.asarray(bg, np.float32)
+            self.background_var = float(self.bg_sim.var())
 
         self.measured_bg = "ambient" in self.ds.column_names
 
     def __len__(self):
         return len(self.ds)
 
+    def set_epoch(self, epoch: int):
+        """Re-seed the per-index augmentation draws (new epoch)."""
+        self._epoch = int(epoch)
+
+    # -- PSF simulation from mask patterns (dataset.py:1710-1722) ------
+
+    def get_mask_vals(self, label):
+        from huggingface_hub import hf_hub_download
+
+        mask_fp = hf_hub_download(repo_id=self.repo,
+                                  filename=f"masks/mask_{label}.npy",
+                                  repo_type="dataset")
+        return np.load(mask_fp)
+
+    def simulate_psf(self, mask_vals):
+        from ..hardware.sensor import VirtualSensor
+        from ..hardware.trainable_mask import AdafruitLCD
+
+        sensor_res = VirtualSensor.from_name(self.sensor).resolution
+        downsample_fact = float(min(np.asarray(sensor_res) /
+                                    np.asarray(self._lensless_shape)))
+        mask = AdafruitLCD(
+            initial_vals=np.asarray(mask_vals, np.float32),
+            sensor=self.sensor,
+            downsample=downsample_fact,
+            flipud=self.rotate or self.flipud,
+            scene2mask=self.simulation_config.get("scene2mask", 0.55) or 0.55,
+            mask2sensor=self.simulation_config.get("mask2sensor", 0.004) or 0.004,
+            deadspace=self.simulation_config.get("deadspace", True),
+        )
+        psf = np.asarray(mask.get_psf(mask.params))
+        # real datasets divide the sensor grid evenly so this is a no-op;
+        # at other geometries align the PSF to the measurement grid
+        # (the reference asserts equality instead, dataset.py:1390-1392)
+        if tuple(psf.shape[-3:-1]) != tuple(self._lensless_shape):
+            psf = _resize(psf, shape=tuple(self._lensless_shape) + (psf.shape[-1],))
+        return psf
+
+    # -- per-index deterministic augmentation draws ---------------------
+
+    def _augment_draws(self, idx):
+        """(flip_lr, flip_ud, bg_target_snr) for this (seed, epoch, idx).
+
+        Shared by ``__getitem__`` and ``extra_fields`` so both see the
+        same random augmentation (the reference draws once inside its
+        combined __getitem__, dataset.py:1857-1907)."""
+        rng = np.random.RandomState([self._flip_seed, self._epoch, int(idx)])
+        flip_lr = bool(rng.rand() > 0.5) if self.random_flip else False
+        flip_ud = bool(rng.rand() > 0.5) if self.random_flip else False
+        target_snr = None
+        if self.bg_sim is not None:
+            target_snr = float(rng.uniform(self.bg_snr_range[0],
+                                           self.bg_snr_range[1]))
+        return flip_lr, flip_ud, target_snr
+
     def _to_array(self, pil_or_arr):
-        arr = np.asarray(pil_or_arr, np.float32)
-        if arr.max() > 1:
-            arr = arr / 255.0
+        arr = np.asarray(pil_or_arr)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        elif arr.dtype in (np.uint16, np.int32, np.int64):
+            arr = arr.astype(np.float32) / 65535.0
+        else:
+            arr = arr.astype(np.float32)
+        if self.force_rgb and arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=2)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr
@@ -451,24 +627,355 @@ class HFDataset(DualDataset):
         lensless = self._to_array(item["lensless"])
         lensed = self._to_array(item["lensed"])
         if self.downsample_lensless != 1:
-            lensless = _resize(lensless[None], factor=1 / self.downsample_lensless)[0]
-        if self.display_res is not None:
-            lensed = _resize(lensed[None], shape=tuple(self.display_res) + (3,))[0]
+            lensless = _resize(lensless[None], factor=1 / self.downsample_lensless,
+                               interpolation=_INTER_NEAREST)[0]
+
+        if self.simulator is not None:
+            # project original image to the lensed (object) plane; with
+            # simulate_lensless also synthesize the measurement
+            # (dataset.py:1788-1801)
+            if self.simulate_lensless:
+                lensless_s, lensed = self.simulator.propagate_image(
+                    lensed, return_object_plane=True)
+                lensless = np.asarray(lensless_s)
+            else:
+                lensed = np.asarray(self.simulator.propagate_image(
+                    lensed, return_object_plane=True)[1])
+        elif self.alignment is not None:
+            lensed = _resize(lensed[None], shape=(
+                self.alignment["height"], self.alignment["width"], 3),
+                interpolation=_INTER_NEAREST)[0]
+        elif self.display_res is not None:
+            lensed = _resize(lensed[None], shape=tuple(self.display_res) + (3,),
+                             interpolation=_INTER_NEAREST)[0]
         elif self.downsample_lensed != 1:
-            lensed = _resize(lensed[None], factor=1 / self.downsample_lensed)[0]
-        if self.rotate:
-            lensless = np.rot90(lensless, 2).copy()
-        if self.flipud:
-            lensless = lensless[::-1].copy()
+            lensed = _resize(lensed[None], factor=1 / self.downsample_lensed,
+                             interpolation=_INTER_NEAREST)[0]
+
+        if not self.simulate_lensless:
+            if self.rotate:
+                lensless = np.rot90(lensless, 2).copy()
+            if self.flipud:
+                lensless = lensless[::-1].copy()
         if self.flip_lensed:
-            lensed = lensed[::-1, ::-1].copy()
+            if self.rotate:
+                lensed = np.rot90(lensed, 2).copy()
+            if self.flipud:
+                lensed = lensed[::-1].copy()
+
+        # random-flip augmentation (dataset.py:1857-1880)
+        flip_lr, flip_ud, target_snr = self._augment_draws(idx)
+        if flip_lr:
+            lensless = lensless[:, ::-1].copy()
+            lensed = lensed[:, ::-1].copy()
+        if flip_ud:
+            lensless = lensless[::-1].copy()
+            lensed = lensed[::-1].copy()
+
+        # simulated background at the drawn SNR (dataset.py:1894-1907)
+        if self.bg_sim is not None:
+            sig_var = float(lensless.var())
+            alpha = np.sqrt(sig_var / self.background_var /
+                            (10 ** (target_snr / 10)))
+            scaled_bg = alpha * self.bg_sim
+            if flip_lr:
+                scaled_bg = scaled_bg[:, ::-1]
+            if flip_ud:
+                scaled_bg = scaled_bg[::-1]
+            lensless = lensless + scaled_bg
         return lensless, lensed
 
     def extra_fields(self, idx):
         out = {}
-        if self.measured_bg:
-            out["background"] = self._to_array(self.ds[int(idx)]["ambient"])[None]
+        flip_lr, flip_ud, target_snr = self._augment_draws(idx)
+
+        psf = None
+        if self.multimask:
+            label = self.ds[int(idx)]["mask_label"]
+            if self.return_mask_label:
+                out["mask_label"] = np.asarray(label)
+            else:
+                psf = np.asarray(self.psf[label])
+        elif self.random_flip:
+            psf = np.asarray(self.psf)
+        if psf is not None:
+            if flip_lr:
+                psf = psf[:, :, ::-1].copy()
+            if flip_ud:
+                psf = psf[:, ::-1].copy()
+            out["psfs"] = psf
+        if self.random_flip:
+            out["flip_lr"] = np.asarray(flip_lr)
+            out["flip_ud"] = np.asarray(flip_ud)
+
+        if self.bg_sim is not None:
+            # return the scaled background that was added (1894-1907),
+            # recomputing alpha from the raw (pre-background) measurement
+            item_lensless = self._raw_lensless(idx)
+            sig_var = float(item_lensless.var())
+            alpha = np.sqrt(sig_var / self.background_var /
+                            (10 ** (target_snr / 10)))
+            scaled_bg = alpha * self.bg_sim
+            if flip_lr:
+                scaled_bg = scaled_bg[:, ::-1]
+            if flip_ud:
+                scaled_bg = scaled_bg[::-1]
+            out["background"] = scaled_bg[None]
+        elif self.measured_bg:
+            bg = self._to_array(self.ds[int(idx)]["ambient"])
+            if self.downsample_lensless != 1:
+                bg = _resize(bg[None], factor=1 / self.downsample_lensless,
+                             interpolation=_INTER_NEAREST)[0]
+            out["background"] = bg[None]
         return out
+
+    def _raw_lensless(self, idx):
+        """The measurement before background addition (for bg scaling)."""
+        item = self.ds[int(idx)]
+        lensless = self._to_array(item["lensless"])
+        if self.downsample_lensless != 1:
+            lensless = _resize(lensless[None], factor=1 / self.downsample_lensless,
+                               interpolation=_INTER_NEAREST)[0]
+        if not self.simulate_lensless:
+            if self.rotate:
+                lensless = np.rot90(lensless, 2).copy()
+            if self.flipud:
+                lensless = lensless[::-1].copy()
+        return lensless
+
+
+class HFSimulated(DualDataset):
+    """HF dataset where the *lensless* image is simulated from the
+    lensed one by convolving with the (downloaded or mask-simulated)
+    PSF (dataset.py:1180-1420).
+
+    Used to compare simulated measurements with real ones.  Supports a
+    single downloaded PSF or multimask per-sample simulated PSFs, shot
+    noise at ``snr_db``, and the alignment paste: the lensed image is
+    resized to the alignment crop and pasted onto a lensless-shaped
+    canvas before convolution (dataset.py:1378-1392).
+    """
+
+    def __init__(self, huggingface_repo, split, n_files=None, psf=None,
+                 downsample=1, cache_dir=None, single_channel_psf=False,
+                 flipud=False, display_res=None, alignment=None,
+                 sensor="rpi_hq", slm="adafruit", simulation_config=None,
+                 snr_db=40, **kwargs):
+        super().__init__(**kwargs)
+        if isinstance(split, str):
+            from datasets import load_dataset
+
+            if n_files is not None:
+                split = f"{split}[0:{n_files}]"
+            self.ds = load_dataset(huggingface_repo, split=split,
+                                   cache_dir=cache_dir)
+        else:
+            self.ds = split
+        self.repo = huggingface_repo
+        self.flipud = flipud
+        self.rotate = False
+        self.snr_db = snr_db
+        self.sensor = sensor
+        self.slm = slm
+        self.simulation_config = simulation_config or {}
+        self._ds_downsample = downsample
+
+        lensless0 = np.asarray(self.ds[0]["lensless"])
+        self.lensless_shape = tuple(np.array(lensless0.shape[:2]) // downsample)
+
+        # PSF: download, or simulate per mask label (dataset.py:1219-1334)
+        self.multimask = False
+        if psf is not None:
+            from huggingface_hub import hf_hub_download
+
+            from .io import load_psf
+
+            psf_fp = hf_hub_download(repo_id=huggingface_repo, filename=psf,
+                                     repo_type="dataset")
+            self.psf = load_psf(psf_fp, shape=tuple(self.lensless_shape) + (3,),
+                                return_float=True, flip_ud=flipud,
+                                bg_pix=(0, 15), single_psf=single_channel_psf)
+            if single_channel_psf:
+                self.psf = np.repeat(self.psf, 3, axis=-1)
+        elif "mask_label" in self.ds.column_names:
+            self.multimask = True
+            labels = sorted({self.ds[i]["mask_label"] for i in range(len(self.ds))})
+            self.mask_labels = labels
+            self.psf = {lab: np.asarray(self.simulate_psf(self.get_mask_vals(lab)))
+                        for lab in labels}
+        else:
+            raise ValueError("provide a psf filename or a multimask dataset")
+
+        self._convolvers = {}
+
+        # alignment geometry (dataset.py:1344-1360)
+        self.display_res = display_res
+        self.cropped_lensed_shape = None
+        if alignment is not None:
+            self.alignment = dict(alignment)
+            self.alignment["top_left"] = (
+                int(alignment["top_left"][0] / downsample),
+                int(alignment["top_left"][1] / downsample))
+            self.alignment["height"] = int(alignment["height"] / downsample)
+            self.alignment["width"] = int(
+                self.alignment["height"] * display_res[1] / display_res[0])
+            self.cropped_lensed_shape = (
+                self.alignment["height"], self.alignment["width"], 3)
+
+    def __len__(self):
+        return len(self.ds)
+
+    get_mask_vals = HFDataset.get_mask_vals
+    simulate_psf = HFDataset.simulate_psf
+
+    @property
+    def _lensless_shape(self):  # used by simulate_psf
+        return self.lensless_shape
+
+    def _convolver_for(self, psf):
+        from ..ops.fft_conv import FFTConvolver
+
+        key = id(psf)
+        if key not in self._convolvers:
+            self._convolvers[key] = FFTConvolver.from_psf(
+                np.asarray(psf), pad=True, norm="backward")
+        return self._convolvers[key]
+
+    def _get_images_pair(self, idx):
+        import jax.numpy as jnp
+
+        item = self.ds[int(idx)]
+        lensed = np.asarray(item["lensed"])
+        if self.flipud:
+            lensed = np.flipud(lensed)
+        if lensed.dtype == np.uint8:
+            lensed = lensed.astype(np.float32) / 255.0
+        else:
+            lensed = lensed.astype(np.float32) / 65535.0
+        if lensed.ndim == 2:
+            lensed = lensed[:, :, None]
+
+        cropped = None
+        if self.cropped_lensed_shape is not None:
+            cropped = _resize(lensed[None], shape=self.cropped_lensed_shape,
+                              interpolation=_INTER_NEAREST)[0]
+            canvas = np.zeros(tuple(self.lensless_shape) + (3,), np.float32)
+            ty, tx = self.alignment["top_left"]
+            canvas[ty : ty + self.alignment["height"],
+                   tx : tx + self.alignment["width"]] = cropped
+            lensed = canvas
+        elif tuple(lensed.shape[:2]) != tuple(self.lensless_shape):
+            lensed = _resize(lensed[None], shape=tuple(self.lensless_shape) + (3,),
+                             interpolation=_INTER_NEAREST)[0]
+
+        psf = (self.psf[item["mask_label"]] if self.multimask else self.psf)
+        conv = self._convolver_for(psf)
+        lensless = np.asarray(conv.convolve(jnp.asarray(lensed[None])))[0]
+
+        if self.snr_db is not None:
+            import jax
+
+            from ..ops.noise import add_shot_noise
+
+            key = jax.random.PRNGKey(int(self._rng.randint(0, 2**31)))
+            lensless = np.asarray(add_shot_noise(lensless, self.snr_db, key))
+        if lensless.max() > 1:
+            lensless = lensless / lensless.max()
+
+        return lensless, (cropped if cropped is not None else lensed)
+
+    def extra_fields(self, idx):
+        if self.multimask:
+            return {"psfs": np.asarray(self.psf[self.ds[int(idx)]["mask_label"]])}
+        return {}
+
+
+class DigiCamCelebA(DualDataset):
+    """Measured DigiCam lensless images paired with CelebA originals
+    projected to the lensed plane by simulation (dataset.py:564-736).
+
+    ``measured_dir`` holds png measurements named like the CelebA jpgs;
+    defaults (flip, shifts, crop, downsample scaling) follow the
+    ``celeba_adafruit_random_2mm_20230720_10K`` recipe.
+    """
+
+    def __init__(self, celeba_root, measured_dir, psf_path, downsample=1,
+                 flip=True, vertical_shift=None, horizontal_shift=None,
+                 crop=None, simulation_config=None, **kwargs):
+        super().__init__(**kwargs)
+        from .io import load_psf
+
+        if vertical_shift is None:
+            vertical_shift = -85
+            horizontal_shift = -5
+        if crop is None:
+            crop = {"vertical": [30, 560], "horizontal": [285, 720]}
+        self.crop = {k: [int(v[0] // downsample), int(v[1] // downsample)]
+                     for k, v in crop.items()}
+        self.vertical_shift = int(vertical_shift // downsample)
+        self.horizontal_shift = int(horizontal_shift // downsample)
+        self.flip_measurement = flip
+        self.pre_downsample = downsample
+
+        # PSF is stored at 4x the measurement resolution (dataset.py:676-686)
+        self.psf, self.background = load_psf(
+            psf_path, downsample=downsample * 4, return_float=True,
+            return_bg=True, flip=flip, bg_pix=(0, 15))
+
+        from .simulation import FarFieldSimulator
+
+        sim_cfg = dict(simulation_config or {})
+        sim_cfg["output_dim"] = tuple(np.asarray(self.psf).shape[-3:-1])
+        sim_cfg.setdefault("sensor", "rpi_hq")
+        self.sim = FarFieldSimulator(psf=None, **sim_cfg)
+
+        self.measured_dir = measured_dir
+        self.original_dir = os.path.join(celeba_root, "celeba", "img_align_celeba")
+        self.files = natural_sort(
+            [os.path.basename(f) for f in glob.glob(os.path.join(measured_dir, "*.png"))]
+        )
+
+    def __len__(self):
+        return len(self.files)
+
+    def _get_images_pair(self, idx):
+        from .io import load_image
+
+        lensless_fp = os.path.join(self.measured_dir, self.files[idx])
+        original_fp = os.path.join(self.original_dir, self.files[idx][:-3] + "jpg")
+        lensless = load_image(lensless_fp, downsample=self.pre_downsample,
+                              flip=self.flip_measurement, return_float=True)
+        original = load_image(original_fp, return_float=True)
+
+        # project original to the lensed plane + alignment rolls
+        # (dataset.py:728-734)
+        lensed = np.asarray(self.sim.propagate_image(
+            original, return_object_plane=True)[1])
+        if self.vertical_shift:
+            lensed = np.roll(lensed, self.vertical_shift, axis=-3)
+        if self.horizontal_shift:
+            lensed = np.roll(lensed, self.horizontal_shift, axis=-2)
+        return lensless, lensed
+
+
+class SimulatedDatasetTrainableMask(SimulatedFarFieldDataset):
+    """Simulated dataset whose PSF is regenerated from a trainable mask
+    (dataset.py:980-1032): ``set_psf`` refreshes the simulator with the
+    current learned mask values each optimization step."""
+
+    def __init__(self, mask, dataset, simulator, **kwargs):
+        self._mask = mask
+        if simulator.conv is None:
+            simulator.set_psf(np.asarray(mask.get_psf(mask.params)))
+        assert not simulator.quantize, (
+            "simulator must not quantize (differentiability; dataset.py:1014-1016)")
+        super().__init__(dataset, simulator, **kwargs)
+
+    def set_psf(self, psf=None):
+        if psf is None:
+            psf = self._mask.get_psf(self._mask.params)
+        self.sim.set_psf(np.asarray(psf))
+        self.psf = np.asarray(self.sim.get_psf())
 
 
 def simulate_dataset(config: dict, psf=None):

@@ -46,6 +46,8 @@ class FarFieldSimulator:
         max_val: int = 255,
         random_shift: bool = False,
         quantize: bool = True,
+        vertical_shift: Optional[int] = None,
+        horizontal_shift: Optional[int] = None,
         **kwargs,
     ):
         self.object_height = object_height
@@ -59,6 +61,8 @@ class FarFieldSimulator:
         self.random_shift = random_shift
         self.quantize = quantize
         self.output_dim = output_dim
+        self.vertical_shift = vertical_shift
+        self.horizontal_shift = horizontal_shift
 
         self.magnification = mask2sensor / scene2mask
         self.conv = None
@@ -106,6 +110,11 @@ class FarFieldSimulator:
         """
         if self.psf is not None:
             sensor_res = tuple(int(v) for v in self.psf.shape[-3:-1])
+        elif self.output_dim is not None:
+            # PSF-less use (object-plane projection only): the target
+            # grid defines the canvas (reference passes output_dim from
+            # the PSF shape, dataset.py:1660-1666)
+            sensor_res = tuple(int(v) for v in self.output_dim)
         else:
             sensor_res = tuple(int(v) for v in self.sensor.resolution)
         sensor_h_m = float(self.sensor.size[0])
@@ -137,6 +146,12 @@ class FarFieldSimulator:
             y0 = (sensor_res[0] - obj_h_px) // 2
             x0 = (sensor_res[1] - obj_w_px) // 2
         canvas[:, y0 : y0 + obj_h_px, x0 : x0 + obj_w_px, :] = resized
+        # alignment shifts (reference applies torch.roll on the lensed
+        # plane, dataset.py:727-731 / waveprop vertical/horizontal_shift)
+        if self.vertical_shift:
+            canvas = np.roll(canvas, self.vertical_shift, axis=-3)
+        if self.horizontal_shift:
+            canvas = np.roll(canvas, self.horizontal_shift, axis=-2)
         return canvas if obj.ndim == 4 else canvas[0]
 
     def propagate_image(self, obj, return_object_plane: bool = False, key=None):

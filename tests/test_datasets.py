@@ -99,3 +99,245 @@ def test_simulate_dataset_offline():
 def test_registry():
     assert "diffusercam_mirflickr" in available_datasets
     assert len(available_datasets) >= 12
+
+
+# ---------------------------------------------------------------------------
+# HFDataset advanced features, offline (duck-typed in-memory HF dataset)
+# ---------------------------------------------------------------------------
+
+
+class _FakeHub:
+    """Duck-type of a datasets.Dataset: list of dict rows + column_names."""
+
+    def __init__(self, rows):
+        self.rows = rows
+        self.column_names = list(rows[0].keys())
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, idx):
+        return self.rows[int(idx)]
+
+
+def _make_hub(n=4, h=16, w=24, multimask=False, ambient=False, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        row = {
+            "lensless": (rng.rand(h, w, 3) * 255).astype(np.uint8),
+            "lensed": (rng.rand(h, w, 3) * 255).astype(np.uint8),
+        }
+        if multimask:
+            row["mask_label"] = i % 2
+        if ambient:
+            row["ambient"] = (rng.rand(h, w, 3) * 50).astype(np.uint8)
+        rows.append(row)
+    return _FakeHub(rows)
+
+
+def _local_hf(cls):
+    """Subclass overriding hub downloads with local data."""
+
+    class _Local(cls):
+        def get_mask_vals(self, label):
+            rng = np.random.RandomState(100 + int(label))
+            return rng.rand(3, 4).astype(np.float32)
+
+    return _Local
+
+
+from lenslesspicam_tpu.data.datasets import (  # noqa: E402
+    DigiCamCelebA,
+    HFDataset,
+    HFSimulated,
+    SimulatedDatasetTrainableMask,
+)
+
+LocalHFDataset = _local_hf(HFDataset)
+LocalHFSimulated = _local_hf(HFSimulated)
+
+
+def test_hf_multimask_per_sample_psfs():
+    hub = _make_hub(multimask=True)
+    ds = LocalHFDataset("local", split=hub)
+    assert ds.multimask and set(ds.mask_labels) == {0, 1}
+    for lab, psf in ds.psf.items():
+        assert psf.ndim == 4 and psf.shape[-1] == 3
+        # PSF simulated at (approximately) the lensless resolution
+        assert abs(psf.shape[1] - 16) <= 1 and abs(psf.shape[2] - 24) <= 3
+    extra = ds.extra_fields(1)
+    np.testing.assert_array_equal(extra["psfs"], np.asarray(ds.psf[1]))
+    batch = next(ds.batches(batch_size=4))
+    assert batch["psfs"].shape[0] == 4
+
+
+def test_hf_random_flip_and_simulated_background(tmp_path):
+    import cv2
+
+    rng = np.random.RandomState(7)
+    bg = (rng.rand(16, 24, 3) * 255).astype(np.uint8)
+    bg_fp = str(tmp_path / "bg.png")
+    cv2.imwrite(bg_fp, bg)
+
+    hub = _make_hub(n=6, multimask=True)
+    ds = LocalHFDataset("local", split=hub, random_flip=True,
+                        bg_fp=bg_fp, bg_snr_range=(0, 10), seed=3)
+    # flip draws deterministic between __getitem__ and extra_fields
+    seen_flip = False
+    for i in range(6):
+        flip_lr, flip_ud, snr = ds._augment_draws(i)
+        extra = ds.extra_fields(i)
+        assert bool(extra["flip_lr"]) == flip_lr
+        assert bool(extra["flip_ud"]) == flip_ud
+        seen_flip = seen_flip or flip_lr or flip_ud
+        # measurement = flipped raw + scaled background returned in extras
+        lensless, _ = ds[i]
+        raw = ds._raw_lensless(i)
+        if flip_lr:
+            raw = raw[:, ::-1]
+        if flip_ud:
+            raw = raw[::-1]
+        np.testing.assert_allclose(
+            lensless[0], raw + extra["background"][0], atol=1e-5)
+        # PSF flipped consistently with the measurement
+        psf = extra["psfs"]
+        base = np.asarray(ds.psf[hub[i]["mask_label"]])
+        if flip_lr:
+            base = base[:, :, ::-1]
+        if flip_ud:
+            base = base[:, ::-1]
+        np.testing.assert_array_equal(psf, base)
+    assert seen_flip
+    # epoch reseeding changes draws
+    draws0 = [ds._augment_draws(i)[:2] for i in range(6)]
+    ds.set_epoch(1)
+    draws1 = [ds._augment_draws(i)[:2] for i in range(6)]
+    assert draws0 != draws1
+
+
+def test_hf_measured_background_and_psf_snr(tmp_path):
+    import cv2
+
+    # single-PSF path with psf_snr: write a local PSF and patch download
+    rng = np.random.RandomState(11)
+    psf_img = (rng.rand(16, 24, 3) * 255).astype(np.uint8)
+    psf_fp = str(tmp_path / "psf.png")
+    cv2.imwrite(psf_fp, psf_img)
+
+    class _PsfLocal(HFDataset):
+        pass
+
+    import lenslesspicam_tpu.data.datasets as dmod
+
+    hub = _make_hub(ambient=True)
+    import huggingface_hub
+
+    orig = huggingface_hub.hf_hub_download
+    huggingface_hub.hf_hub_download = lambda **kw: psf_fp
+    try:
+        ds = _PsfLocal("local", split=hub, psf="psf.png", psf_snr=10)
+        ds_clean = _PsfLocal("local", split=hub, psf="psf.png")
+    finally:
+        huggingface_hub.hf_hub_download = orig
+
+    assert ds.measured_bg
+    extra = ds.extra_fields(0)
+    assert extra["background"].shape == (1, 16, 24, 3)
+    # psf noise was injected at ~10 dB SNR
+    noise = np.asarray(ds.psf) - np.asarray(ds_clean.psf)
+    assert noise.std() > 0
+    snr_db = 10 * np.log10(np.asarray(ds_clean.psf).var() / noise.var())
+    assert 8 < snr_db < 12
+
+
+def test_hf_simulated_convolution_parity():
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+
+    hub = _make_hub(multimask=True)
+    ds = LocalHFSimulated("local", split=hub, snr_db=None)
+    lensless, lensed = ds._get_images_pair(0)
+    psf = np.asarray(ds.psf[hub[0]["mask_label"]])
+    conv = FFTConvolver.from_psf(psf, pad=True, norm="backward")
+    expected = np.asarray(conv.convolve(jnp.asarray(lensed[None])))[0]
+    if expected.max() > 1:
+        expected = expected / expected.max()
+    np.testing.assert_allclose(lensless, expected, atol=1e-5)
+    assert "psfs" in ds.extra_fields(0)
+
+
+def test_digicam_celeba(tmp_path):
+    import cv2
+
+    rng = np.random.RandomState(13)
+    measured_dir = tmp_path / "measured"
+    celeba_dir = tmp_path / "celeba_root" / "celeba" / "img_align_celeba"
+    measured_dir.mkdir()
+    celeba_dir.mkdir(parents=True)
+    for i in range(2):
+        cv2.imwrite(str(measured_dir / f"{i:06d}.png"),
+                    (rng.rand(60, 80, 3) * 255).astype(np.uint8))
+        cv2.imwrite(str(celeba_dir / f"{i:06d}.jpg"),
+                    (rng.rand(218, 178, 3) * 255).astype(np.uint8))
+    psf_fp = str(tmp_path / "psf.png")
+    cv2.imwrite(psf_fp, (rng.rand(240, 320, 3) * 255).astype(np.uint8))
+
+    ds = DigiCamCelebA(
+        celeba_root=str(tmp_path / "celeba_root"),
+        measured_dir=str(measured_dir), psf_path=psf_fp, downsample=1,
+        simulation_config={"object_height": 0.33, "scene2mask": 0.25,
+                           "mask2sensor": 0.002, "sensor": "rpi_hq",
+                           "quantize": False},
+    )
+    assert len(ds) == 2
+    lensless, lensed = ds[0]
+    assert lensless.ndim == 4 and lensed.ndim == 4
+    assert ds.crop["vertical"] == [30, 560]
+    # roll shifts applied to the lensed plane
+    assert ds.vertical_shift == -85 and ds.horizontal_shift == -5
+
+
+def test_simulated_dataset_trainable_mask():
+    from lenslesspicam_tpu.data.simulation import FarFieldSimulator
+    from lenslesspicam_tpu.hardware.trainable_mask import TrainablePSF
+
+    rng = np.random.RandomState(17)
+    psf0 = rng.rand(1, 16, 24, 3).astype(np.float32)
+    psf0 /= np.linalg.norm(psf0)
+    mask = TrainablePSF(psf0)
+    sim = FarFieldSimulator(object_height=0.3, scene2mask=0.55,
+                            mask2sensor=0.004, sensor="rpi_hq",
+                            quantize=False)
+    images = [rng.rand(14, 14, 3).astype(np.float32) for _ in range(3)]
+    ds = SimulatedDatasetTrainableMask(mask, images, sim)
+    assert len(ds) == 3
+    x0, _ = ds[0]
+
+    # update the mask, refresh the PSF -> simulation changes
+    import jax.numpy as jnp
+
+    mask.params = {"psf": jnp.asarray(psf0[::, ::-1].copy())}
+    ds.set_psf()
+    x1, _ = ds[0]
+    assert not np.allclose(x0, x1)
+
+
+def test_multimask_end_to_end_training():
+    """VERDICT r1 item 4 'done' criterion: build a multimask simulated
+    mini-dataset and train one epoch with per-sample PSFs + backgrounds."""
+    from lenslesspicam_tpu.models.trainable_recon import TrainableRecon
+    from lenslesspicam_tpu.models.unrolled import UnrolledADMM
+    from lenslesspicam_tpu.train.trainer import Trainer, TrainerConfig
+
+    hub = _make_hub(n=4, multimask=True, ambient=True)
+    ds = LocalHFDataset("local", split=hub, random_flip=True, seed=5)
+    batches = list(ds.batches(batch_size=2))
+    assert all("psfs" in b and "background" in b for b in batches)
+
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=1, lr=1e-3)
+    trainer = Trainer(model, ds.psf[0], lambda: iter(batches), batches[:1], cfg)
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
