@@ -141,36 +141,42 @@ def bayer2rgb(bayer, pattern="RGGB"):
 def bayer2rgb_cc(
     img,
     nbits,
+    down=None,
     blue_gain=None,
     red_gain=None,
-    black_level=256.3,
+    black_level=None,
     ccm=None,
     nbits_out=None,
 ):
-    """Raspberry Pi HQ ISP chain: demosaic -> black-level subtraction ->
-    white-balance gains -> color correction matrix -> requantize
-    (image.py:281-349, constants from hardware/constants.py)."""
+    """Raspberry Pi HQ ISP chain, numerically identical to the reference
+    (image.py:281-349): demosaic -> optional downsample -> black-level
+    subtraction -> white-balance gains -> normalize by
+    ``2**nbits - 1 - black_level`` -> clip top -> color correction matrix
+    -> clip [0, 1] -> requantize to ``nbits_out``."""
+    from ..hardware.constants import (
+        RPI_HQ_CAMERA_BLACK_LEVEL,
+        RPI_HQ_CAMERA_CCM_MATRIX,
+    )
+
     assert len(img.shape) == 2, "2D Bayer mosaic expected"
     if nbits_out is None:
         nbits_out = nbits
     dtype = np.uint16 if nbits_out > 8 else np.uint8
     if ccm is None:
-        # RPi HQ CCM (lensless/hardware/constants.py)
-        ccm = np.array(
-            [
-                [2.0659, -0.93119, -0.13421],
-                [-0.11615, 1.5593, -0.44314],
-                [0.073694, -0.4368, 1.36305],
-            ]
-        )
+        ccm = RPI_HQ_CAMERA_CCM_MATRIX
+    if black_level is None:
+        black_level = RPI_HQ_CAMERA_BLACK_LEVEL
 
     # demosaic (assumes RGGB like picamerax)
     img = img.astype(np.uint16) if img.dtype not in (np.uint8, np.uint16) else img
-    rgb = cv2.cvtColor(img, cv2.COLOR_BayerRG2RGB).astype(np.float64)
+    rgb = cv2.cvtColor(img, cv2.COLOR_BayerRG2RGB)
 
-    # black level removal
-    rgb -= black_level
-    rgb = np.clip(rgb, a_min=0, a_max=None)
+    if down is not None:
+        rgb = resize(rgb[None, ...], factor=1 / down)[0]
+
+    # black level removal (no lower clip — the reference lets negatives
+    # flow into the gains/CCM, image.py:339-346)
+    rgb = rgb.astype(np.float64) - black_level
 
     # white balance
     if red_gain:
@@ -178,11 +184,14 @@ def bayer2rgb_cc(
     if blue_gain:
         rgb[:, :, 2] *= blue_gain
 
+    # normalize by the usable range BEFORE the CCM (image.py:344-345)
+    rgb = rgb / (2**nbits - 1 - black_level)
+    rgb[rgb > 1] = 1
+
     # color correction
     rgb = rgb @ ccm.T
-    rgb = np.clip(rgb, a_min=0, a_max=2**nbits - 1)
-    rgb = rgb / (2**nbits - 1) * (2**nbits_out - 1)
-    return rgb.astype(dtype)
+    rgb = np.clip(rgb, 0, 1)
+    return (rgb * (2**nbits_out - 1)).astype(dtype)
 
 
 def print_image_info(img):

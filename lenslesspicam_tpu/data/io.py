@@ -77,7 +77,7 @@ def load_image(
             nbits=nbits,
             blue_gain=blue_gain,
             red_gain=red_gain,
-            black_level=black_level if black_level is not None else 256.3,
+            black_level=black_level,
             ccm=ccm,
             nbits_out=nbits_out,
         )

@@ -12,6 +12,6 @@ RPI_HQ_CAMERA_CCM_MATRIX = np.array(
     [
         [2.0659, -0.93119, -0.13421],
         [-0.11615, 1.5593, -0.44314],
-        [0.073694, -0.4368, 1.36305],
+        [0.073694, -0.4368, 1.3636],
     ]
 )

@@ -44,14 +44,38 @@ class Down(nn.Module):
         return DoubleConv(self.out_ch)(x, train)
 
 
+def bilinear_align_corners(x, out_h: int, out_w: int):
+    """Bilinear resize with align_corners=True semantics (matches
+    torch ``nn.Upsample(mode='bilinear', align_corners=True)`` used by
+    the reference's ``Up``, multi_wiener.py:54-57): output sample ``i``
+    reads input coordinate ``i * (n_in - 1) / (n_out - 1)``."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def axis_coords(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,), x.dtype)
+        return jnp.linspace(0.0, n_in - 1.0, n_out).astype(x.dtype)
+
+    ys = axis_coords(h, out_h)
+    xs = axis_coords(w, out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0.astype(x.dtype))[:, None, None]
+    wx = (xs - x0.astype(x.dtype))[:, None]
+
+    rows = (1 - wy) * jnp.take(x, y0, axis=-3) + wy * jnp.take(x, y1, axis=-3)
+    return (1 - wx) * jnp.take(rows, x0, axis=-2) + wx * jnp.take(rows, x1, axis=-2)
+
+
 class Up(nn.Module):
     out_ch: int
     mid_ch: int | None = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
-        target = x1.shape[:-3] + (x1.shape[-3] * 2, x1.shape[-2] * 2) + x1.shape[-1:]
-        x1 = jax.image.resize(x1, target, method="bilinear")
+        x1 = bilinear_align_corners(x1, x1.shape[-3] * 2, x1.shape[-2] * 2)
         dy = x2.shape[-3] - x1.shape[-3]
         dx = x2.shape[-2] - x1.shape[-2]
         cfg = [(0, 0)] * x1.ndim

@@ -120,7 +120,12 @@ class UNetRes(nn.Module):
 
 
 class UNet(nn.Module):
-    """Plain U-Net with global residual ``+ x0`` (network_unet.py:22-100)."""
+    """Plain U-Net with global residual ``+ x0`` (network_unet.py:22-100).
+
+    Structure matches the reference exactly (so its checkpoints convert):
+    biased conv+ReLU head, per-scale ``nb`` conv+ReLU blocks + stride-2
+    down conv (all biased), ``nb + 1`` body convs, transposed-conv
+    upsamples with additive skips, biased tail conv, global residual."""
 
     out_nc: int = 3
     nc: Sequence[int] = (64, 128, 256, 512)
@@ -128,16 +133,29 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x0):
-        x1, x2, x3, x4 = _Encoder(self.nc, self.nb, name="encoder")(x0)
-        h = x4
-        for _ in range(self.nb):
-            h = ResBlock(self.nc[3])(h)
+        nc = self.nc
+        x1 = nn.relu(nn.Conv(nc[0], (3, 3), padding=1, name="head")(x0))
+        h = x1
+        skips = [x1]
+        for scale in range(3):
+            for j in range(self.nb):
+                h = nn.relu(nn.Conv(nc[scale], (3, 3), padding=1,
+                                    name=f"down{scale}_conv{j}")(h))
+            h = nn.relu(nn.Conv(nc[scale + 1], (2, 2), strides=(2, 2), padding=0,
+                                name=f"down{scale}_down")(h))
+            skips.append(h)
+        x1, x2, x3, x4 = skips
+        for j in range(self.nb + 1):
+            h = nn.relu(nn.Conv(nc[3], (3, 3), padding=1, name=f"body_conv{j}")(h))
         for scale, skip in ((2, x4), (1, x3), (0, x2)):
-            h = nn.ConvTranspose(self.nc[scale], (2, 2), strides=(2, 2), padding="VALID",
-                                 use_bias=False)(h + skip)
-            for _ in range(self.nb):
-                h = ResBlock(self.nc[scale])(h)
-        out = nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=False)(h + x1)
+            h = nn.relu(nn.ConvTranspose(nc[scale], (2, 2), strides=(2, 2),
+                                         padding="VALID", name=f"up{scale}_up")(h + skip))
+            for j in range(self.nb):
+                h = nn.relu(nn.Conv(nc[scale], (3, 3), padding=1,
+                                    name=f"up{scale}_conv{j}")(h))
+        out = nn.Conv(self.out_nc, (3, 3), padding=1, name="tail")(h + x1)
+        # reference adds the raw input (assumes in_nc == out_nc); guard
+        # the channel mismatch the torch version would error on
         residual = x0[..., : self.out_nc] if x0.shape[-1] >= self.out_nc else x0
         return out + residual
 

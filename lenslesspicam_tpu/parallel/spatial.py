@@ -146,6 +146,14 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
     row-sharded on the same axis.
     """
     assert AXIS in mesh.axis_names
+    # the sharded synthesis chain has no trailing ifftshift roll; the
+    # shift must be folded into H (even padded dims — true for the
+    # 'tpu' pad policy always, and for 'ref' at most sizes).  Otherwise
+    # the output would be silently rolled vs. admm.run.
+    assert conv.shift_folded, (
+        "spatial_sharded_admm requires an even-padded convolver "
+        "(conv.shift_folded); rebuild the convolver with pad_policy='tpu'"
+    )
     n_shards = mesh.shape[AXIS]
     depth, ph, pw, ch = conv.padded_shape
     assert ph % n_shards == 0, f"padded height {ph} must divide {n_shards}"

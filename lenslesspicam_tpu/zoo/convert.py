@@ -81,6 +81,39 @@ def torch_unetres_to_flax(state_dict, nb: int = 4) -> dict:
     return {"params": params}
 
 
+def torch_unet_to_flax(state_dict, nb: int = 2) -> dict:
+    """Map a reference plain-UNet state dict (network_unet.py:22-100,
+    flattened Sequential indices: conv+ReLU pairs at even indices) to
+    flax params for models.unet.UNet(nb=nb)."""
+
+    def get(key):
+        w = state_dict[key]
+        return np.asarray(w.numpy() if hasattr(w, "numpy") else w)
+
+    def kb(prefix):
+        return {"kernel": _conv_w(get(f"{prefix}.weight")),
+                "bias": get(f"{prefix}.bias")}
+
+    p: dict = {"head": kb("m_head.0")}
+    for scale in range(3):
+        t = f"m_down{scale + 1}"
+        for j in range(nb):
+            p[f"down{scale}_conv{j}"] = kb(f"{t}.{2 * j}")
+        p[f"down{scale}_down"] = kb(f"{t}.{2 * nb}")
+    for j in range(nb + 1):
+        p[f"body_conv{j}"] = kb(f"m_body.{2 * j}")
+    for scale in range(3):
+        t = f"m_up{scale + 1}"
+        p[f"up{scale}_up"] = {
+            "kernel": _convtranspose_w(get(f"{t}.0.weight")),
+            "bias": get(f"{t}.0.bias"),
+        }
+        for j in range(nb):
+            p[f"up{scale}_conv{j}"] = kb(f"{t}.{2 * (j + 1)}")
+    p["tail"] = kb("m_tail")
+    return {"params": p}
+
+
 def torch_unrolled_admm_params(state_dict) -> dict:
     """Map UnrolledADMM hyper-parameter vectors (unrolled_admm.py:83-94)."""
 

@@ -136,3 +136,28 @@ def test_far_field_simulator_no_psf():
     obj = np.random.RandomState(6).rand(32, 48, 3).astype(np.float32)
     out = sim.propagate_image(obj)
     assert out.shape[-1] == 3
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_bayer2rgb_cc_golden():
+    """ISP chain numerically identical to the reference on synthetic
+    Bayer data (reference image.py:281-349)."""
+    add_reference_to_path()
+    from lensless.utils.image import bayer2rgb_cc as ref_isp
+
+    rng = np.random.RandomState(21)
+    bayer12 = (rng.rand(64, 96) * (2**12 - 1)).astype(np.uint16)
+
+    for kwargs in (
+        dict(nbits=12),
+        dict(nbits=12, nbits_out=8),
+        dict(nbits=12, red_gain=1.8, blue_gain=1.3),
+        dict(nbits=12, down=2),
+        dict(nbits=12, black_level=100.0, nbits_out=16),
+    ):
+        ours = jimage.bayer2rgb_cc(bayer12.copy(), **kwargs)
+        ref = ref_isp(bayer12.copy(), **kwargs)
+        assert ours.dtype == ref.dtype
+        # same chain up to uint rounding
+        np.testing.assert_allclose(
+            ours.astype(np.float64), ref.astype(np.float64), atol=1.0)

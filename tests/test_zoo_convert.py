@@ -38,6 +38,33 @@ def test_unetres_conversion_forward_parity():
     np.testing.assert_allclose(fout, tout, atol=1e-4)
 
 
+def test_unet_conversion_forward_parity():
+    """Plain UNet (network_unet.py:22-100) torch -> flax forward parity."""
+    add_reference_to_path()
+    stub_torchvision()
+    import torch
+    from lensless.recon.drunet.network_unet import UNet as TorchUNet
+    from lenslesspicam_tpu.models.unet import UNet
+    from lenslesspicam_tpu.zoo.convert import torch_unet_to_flax
+
+    nc = [8, 16, 32, 64]
+    nb = 2
+    tmodel = TorchUNet(in_nc=3, out_nc=3, nc=nc, nb=nb)
+    tmodel.eval()
+
+    params = torch_unet_to_flax(tmodel.state_dict(), nb=nb)
+    fmodel = UNet(out_nc=3, nc=tuple(nc), nb=nb)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 32, 40, 3).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    tout = np.transpose(tout, (0, 2, 3, 1))
+
+    fout = np.asarray(fmodel.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x)))
+    np.testing.assert_allclose(fout, tout, atol=1e-4)
+
+
 def test_unrolled_admm_param_conversion():
     add_reference_to_path()
     stub_torchvision()
