@@ -111,14 +111,21 @@ def verify_split(jax):
         conv = admm.make_convolver(psf2d[None, :, :, None])
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
-    backend = os.environ.get("BENCH_FFT_BACKEND", "fused")
-    pre = admm_split.precompute_split(psf2d, data2d)
+    backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
+
+    def run_backend(bk, psf, dat, n):
+        if bk == "rfused":
+            p = admm_split.precompute_rsplit(psf, dat)
+            return np.asarray(admm_split.run_rsplit_jit(p, n_iter=n))
+        p = admm_split.precompute_split(psf, dat)
+        return np.asarray(admm_split.run_split_jit(p, n_iter=n, backend=bk))
+
     try:
-        out = np.asarray(admm_split.run_split_jit(pre, n_iter=10, backend=backend))
+        out = run_backend(backend, psf2d, data2d, 10)
     except Exception as e:
         print(f"verify: backend {backend} failed at small size ({e}); "
               "verifying jax backend", file=sys.stderr)
-        out = np.asarray(admm_split.run_split_jit(pre, n_iter=10, backend="jax"))
+        out = run_backend("jax", psf2d, data2d, 10)
     scale = max(np.abs(ref).max(), 1e-9)
     err = float(np.abs(out - ref).max() / scale)
     # the matmul-DFT backend carries more f32/bf16 noise per transform
@@ -150,13 +157,10 @@ def verify_split(jax):
             conv_q = admm.make_convolver(psf_q[None, :, :, None])
             ref_q = np.asarray(admm.run_jit(conv_q, jnp.asarray(
                 meas[None, None, :, :, None]), n_iter=100))[0, 0, :, :, 0]
-        pre_q = admm_split.precompute_split(psf_q, meas)
         try:
-            out_q = np.asarray(admm_split.run_split_jit(pre_q, n_iter=100,
-                                                        backend=backend))
+            out_q = run_backend(backend, psf_q, meas, 100)
         except Exception:
-            out_q = np.asarray(admm_split.run_split_jit(pre_q, n_iter=100,
-                                                        backend="jax"))
+            out_q = run_backend("jax", psf_q, meas, 100)
 
         def psnr_of(x):
             xn = x / max(x.max(), 1e-9)
@@ -201,28 +205,51 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     psf2d /= np.linalg.norm(psf2d)
     data2d = rng.rand(*shape).astype(np.float32)
 
-    backends = [os.environ.get("BENCH_FFT_BACKEND", "fused")]
-    for fb in ("pallas", "jax"):
+    backends = [os.environ.get("BENCH_FFT_BACKEND", "rfused")]
+    for fb in ("fused", "pallas", "jax"):
         if fb not in backends:
             backends.append(fb)
     for backend in backends:
         try:
-            pre = admm_split.precompute_split(psf2d, data2d)
+            if backend == "rfused":
+                pre = admm_split.precompute_rsplit(psf2d, data2d)
 
-            def make_run(bk):
                 @jax.jit
-                def run_sum(Hr, Hi, R, Xd, dp, n):
-                    p = admm_split.SplitPrecomp(Hr, Hi, R, Xd, dp, pre.psf_shape,
-                                                pre.padded_shape, pre.start)
-                    out = admm_split.run_split(p, admm_split.ADMMParams(), n, bk)
+                def run_sum_r(Hr, Hi, R, Xd, dp, H0, HM, R0, RM, n):
+                    p = admm_split.RSplitPrecomp(
+                        Hr, Hi, R, Xd, dp, H0, HM, R0, RM, pre.psf_shape,
+                        pre.padded_shape, pre.start)
+                    out = admm_split.run_split_rfused(p, admm_split.ADMMParams(), n)
                     return jnp.sum(out[::499, ::499])
 
-                return run_sum
+                args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
+                        pre.H0, pre.HM, pre.R0, pre.RM)
+                val = _timed(lambda k: float(run_sum_r(*args, k)),
+                             base_iter, n_iter, repeats)
+            else:
+                pre = admm_split.precompute_split(psf2d, data2d)
 
-            run_sum = make_run(backend)
-            args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad)
-            val = _timed(lambda k: float(run_sum(*args, k)), base_iter, n_iter, repeats)
+                def make_run(bk):
+                    @jax.jit
+                    def run_sum(Hr, Hi, R, Xd, dp, n):
+                        p = admm_split.SplitPrecomp(Hr, Hi, R, Xd, dp, pre.psf_shape,
+                                                    pre.padded_shape, pre.start)
+                        out = admm_split.run_split(p, admm_split.ADMMParams(), n, bk)
+                        return jnp.sum(out[::499, ::499])
+
+                    return run_sum
+
+                run_sum = make_run(backend)
+                args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad)
+                val = _timed(lambda k: float(run_sum(*args, k)), base_iter, n_iter, repeats)
             print(f"backend {backend}: {val:.2f} it/s", file=sys.stderr)
+            from lenslesspicam_tpu.utils.tracing import roofline_report
+
+            rep = roofline_report(shape, iters_per_s=val)
+            print(f"roofline: {rep['bytes_per_iter'] / 1e9:.2f} GB/iter, "
+                  f"SOL {rep['sol_iters_per_s']:.1f} it/s, achieved "
+                  f"{100 * rep['fraction_of_sol']:.1f}% of HBM speed-of-light",
+                  file=sys.stderr)
             return val
         except Exception as e:
             print(f"backend {backend} failed: {e}", file=sys.stderr)

@@ -268,6 +268,159 @@ def _two_stage_inverse(xr, xi, plan):
     return zr, zi
 
 
+# ---------------------------------------------------------------------------
+# real-input half-spectrum W transform (rfft packing)
+#
+# Spatial rows are stored in the even/odd SPLIT LANE LAYOUT
+# ``[x[0::2] | x[1::2]]`` so the classic packing p[j] = x[2j] + i x[2j+1]
+# is two contiguous lane slices (no interleave shuffles anywhere).  A
+# size-M = N/2 complex split-order FFT of p is unpacked to the
+# half-spectrum Z[0..M-1] via
+#     Z[k] = (P[k] + conj(P[M-k]))/2 - (i/2) w^k (P[k] - conj(P[M-k])),
+# w = exp(-2i pi / N), with the mirror index map expressed in split-order
+# coordinates (k1, k2) -> ((-k1) mod n1, n2-1-k2) (row 0: (-k2) mod n2)
+# as permutation-matrix matmuls (MXU-friendly, no lane shuffles).  The
+# real Nyquist bin Z[M] rides in the imaginary slot of the (real) DC
+# lane (split position (0, 0)); downstream per-column H transforms are
+# linear so the packed column stays separable, and the solver patches
+# that single column exactly (recon/admm_split.py).
+#
+# Net effect: all inter-kernel spectrum planes, filter constants, and
+# H-axis kernel grids HALVE vs the full-width complex path.  Matches the
+# reference's rfft2 half-spectrum economy
+# (/root/reference/lensless/recon/rfft_convolve.py:119-131) in the
+# split-order TPU pipeline.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _rplan(n_full: int):
+    """Mirror permutation matrices and pack/unpack twiddles for the
+    packed real transform of full length ``n_full`` (= 2M), in the
+    size-M split order.  All numpy f32."""
+    assert n_full % 2 == 0
+    m = n_full // 2
+    n1, n2 = _factor(m)
+    k = split_order_indices(m).reshape(n1, n2).astype(np.int64)
+    # Q = J1 @ P gives Q[k1, :] = P[(-k1) % n1, :]
+    J1 = np.zeros((n1, n1), np.float32)
+    for k1 in range(n1):
+        J1[k1, (-k1) % n1] = 1.0
+    # (Q @ J2a)[:, k2] = Q[:, (-k2) % n2]   (row k1 = 0 of the mirror)
+    # (Q @ J2b)[:, k2] = Q[:, n2 - 1 - k2]  (rows k1 >= 1)
+    J2a = np.zeros((n2, n2), np.float32)
+    J2b = np.zeros((n2, n2), np.float32)
+    for k2 in range(n2):
+        J2a[(-k2) % n2, k2] = 1.0
+        J2b[n2 - 1 - k2, k2] = 1.0
+    w = np.exp(-2j * np.pi * k / n_full).astype(np.complex64)   # w^{+k}
+    mask00 = np.zeros((n1, n2), np.float32)
+    mask00[0, 0] = 1.0
+    return (J1, J2a, J2b,
+            np.ascontiguousarray(w.real), np.ascontiguousarray(w.imag),
+            np.ascontiguousarray(w.real), np.ascontiguousarray(-w.imag),
+            mask00, n1, n2)
+
+
+def to_split_layout(x):
+    """(..., N) natural rows -> even/odd split layout [x[0::2] | x[1::2]]."""
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+def from_split_layout(x):
+    """Inverse of :func:`to_split_layout`."""
+    m = x.shape[-1] // 2
+    return jnp.stack([x[..., :m], x[..., m:]], axis=-1).reshape(
+        *x.shape[:-1], 2 * m)
+
+
+def _mirror_split(pr, pi, J1, J2a, J2b):
+    """P_rev[k1, k2] = P at the split position of frequency (M - k) mod M
+    for (rows, n1, n2) planes, via permutation matmuls."""
+
+    def rowperm(v):
+        q = jax.lax.dot_general(J1, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=_MXU_F32)
+        return jnp.transpose(q, (1, 0, 2))
+
+    def laneperm(v, mat):
+        return jax.lax.dot_general(v, mat, (((v.ndim - 1,), (0,)), ((), ())),
+                                   preferred_element_type=_MXU_F32)
+
+    out = []
+    for v in (pr, pi):
+        q = rowperm(v)
+        row0 = laneperm(q[:, :1, :], J2a)
+        rest = laneperm(q, J2b)[:, 1:, :]
+        out.append(jnp.concatenate([row0, rest], axis=1))
+    return out[0], out[1]
+
+
+def rfft_w_split(x_split: jax.Array) -> tuple:
+    """(rows, N) real rows in even/odd split layout -> half-spectrum
+    (rows, M) r/i planes in the size-M split order; Z[0] + i Z[M] packed
+    at lane 0 (split position (0, 0)).  Pure-XLA reference for the
+    Pallas kernel (ops/pallas_kernels2.rfft_w)."""
+    rows, n_full = x_split.shape
+    m = n_full // 2
+    plan = _plan(m, False)
+    J1, J2a, J2b, Er, Ei, _, _, mask00, n1, n2 = _rplan(n_full)
+    pr = x_split[:, :m].reshape(rows, n1, n2)
+    pi = x_split[:, m:].reshape(rows, n1, n2)
+    Pr, Pi = _two_stage(pr, pi, plan, True)
+    Rr, Ri = _mirror_split(Pr, Pi, jnp.asarray(J1), jnp.asarray(J2a),
+                           jnp.asarray(J2b))
+    Er = jnp.asarray(Er)
+    Ei = jnp.asarray(Ei)
+    Sr, Si = Pr + Rr, Pi - Ri
+    Dr, Di = Pr - Rr, Pi + Ri
+    Zr = 0.5 * (Sr + Er * Di + Ei * Dr)
+    Zi = 0.5 * (Si - (Er * Dr - Ei * Di))
+    Zi = jnp.where(jnp.asarray(mask00) > 0, Pr - Pi, Zi)   # pack Z[M]
+    return Zr.reshape(rows, m), Zi.reshape(rows, m)
+
+
+def irfft_w_split(zr: jax.Array, zi: jax.Array) -> jax.Array:
+    """(rows, M) half-spectrum (packed lane 0) -> (rows, N) real rows in
+    even/odd split layout.  Exact inverse of :func:`rfft_w_split`."""
+    rows, m = zr.shape
+    n_full = 2 * m
+    plan = _plan(m, True)
+    J1, J2a, J2b, _, _, Wr, Wi, mask00, n1, n2 = _rplan(n_full)
+    Z3r = zr.reshape(rows, n1, n2)
+    Z3i = zi.reshape(rows, n1, n2)
+    Rr, Ri = _mirror_split(Z3r, Z3i, jnp.asarray(J1), jnp.asarray(J2a),
+                           jnp.asarray(J2b))
+    Er_g = 0.5 * (Z3r + Rr)
+    Ei_g = 0.5 * (Z3i - Ri)
+    Dr = 0.5 * (Z3r - Rr)
+    Di = 0.5 * (Z3i + Ri)
+    Wr = jnp.asarray(Wr)
+    Wi = jnp.asarray(Wi)
+    Or_g = Wr * Dr - Wi * Di
+    Oi_g = Wr * Di + Wi * Dr
+    m00 = jnp.asarray(mask00) > 0
+    Er = jnp.where(m00, 0.5 * (Z3r + Z3i), Er_g)
+    Ei = jnp.where(m00, 0.0, Ei_g)
+    Or = jnp.where(m00, 0.5 * (Z3r - Z3i), Or_g)
+    Oi = jnp.where(m00, 0.0, Oi_g)
+    Pr = Er - Oi
+    Pi = Ei + Or
+    pr, pi = _two_stage_inverse(Pr, Pi, plan)
+    return jnp.concatenate([pr.reshape(rows, m), pi.reshape(rows, m)], axis=1)
+
+
+def spectrum_to_half_split(spec_full: np.ndarray) -> np.ndarray:
+    """(H, W) natural-order full spectrum -> (H, W/2) plane with the W
+    axis restricted to frequencies 0..M-1 in the size-M split order and
+    the H axis in the size-H split order — the filter layout consumed by
+    the half-spectrum pipeline."""
+    h, w_full = np.asarray(spec_full).shape
+    m = w_full // 2
+    half = np.take(np.asarray(spec_full)[:, :m], split_order_indices(m), axis=1)
+    return np.take(half, split_order_indices(h), axis=0)
+
+
 @partial(jax.jit, static_argnames=())
 def filtered_synthesis_split(x2d: jax.Array, filt_r: jax.Array, filt_i: jax.Array) -> jax.Array:
     """irfft2(rfft2(x) * H) for (M, W)-rows x (M = batch*H folded

@@ -676,6 +676,358 @@ def e2_fused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
     )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, *mats)
 
 
+# ---------------------------------------------------------------------------
+# real-input half-spectrum W transforms (rfft packing).
+#
+# Spatial rows live in the even/odd SPLIT LANE LAYOUT [x[0::2] | x[1::2]]
+# (ops/pallas_fft.py rfft section), so the packing p = evens + i*odds is
+# two contiguous lane slices.  One size-M = N/2 complex two-stage
+# transform + a mirror-permutation unpack produces the half-spectrum —
+# HALVING all downstream spectrum traffic, filter storage, and H-axis
+# kernel grids.  The mirror (k -> (M - k) mod M in split order) is three
+# small permutation matmuls (J1 row perm, J2a/J2b lane perms) — MXU work,
+# no lane shuffles.  Z[M] (real Nyquist) rides in Im of the DC lane;
+# the solver patches that one column exactly (recon/admm_split.py).
+# ---------------------------------------------------------------------------
+
+
+def _rplan_mats(n_full, inverse):
+    """Constant operand stack for the packed-real kernels (jnp arrays)."""
+    from .pallas_fft import _rplan
+
+    m = n_full // 2
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _plan(m, inverse)
+    J1, J2a, J2b, Er, Ei, Wr, Wi, mask00, _, _ = _rplan(n_full)
+    tw_r, tw_i = (Wr, Wi) if inverse else (Er, Ei)
+    mats = (F1r, F1i, F2r, F2i,
+            np.ascontiguousarray(Tr.T), np.ascontiguousarray(Ti.T),
+            J1, J2a, J2b, tw_r, tw_i, mask00)
+    return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
+
+
+def _mirror_core(Pr, Pi, j1m, j2a, j2b):
+    """P_rev[k1, k2] = P at split position of freq (M - k) mod M, via
+    permutation matmuls on (br, n1, n2) planes."""
+
+    def rowperm(v):
+        q = jax.lax.dot_general(j1m, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_PREC)
+        return jnp.transpose(q, (1, 0, 2))
+
+    def laneperm(v, mat):
+        return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    n1 = Pr.shape[1]
+    outs = []
+    for v in (Pr, Pi):
+        if n1 == 1:               # degenerate factorization: only row 0
+            outs.append(laneperm(v, j2a))
+            continue
+        q = rowperm(v)
+        row0 = laneperm(q[:, :1, :], j2a)
+        rest = laneperm(q, j2b)[:, 1:, :]
+        outs.append(jnp.concatenate([row0, rest], axis=1))
+    return outs[0], outs[1]
+
+
+def _w_rfwd_core(x2d, n1, n2, mats):
+    """(br, N) split-layout real rows -> half-spectrum (br, M) pair."""
+    f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, er, ei, mask00 = mats
+    br = x2d.shape[0]
+    m = n1 * n2
+    pr = x2d[:, :m].reshape(br, n1, n2)
+    pi = x2d[:, m:].reshape(br, n1, n2)
+
+    def dgA(v, mat):
+        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    yr = dgA(pr, f1r) - dgA(pi, f1i)          # (br, j2, k1)
+    yi = dgA(pr, f1i) + dgA(pi, f1r)
+    tr = yr * trt - yi * tit
+    ti = yr * tit + yi * trt
+
+    def dgB(v, mat):
+        return jax.lax.dot_general(v, mat, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    Pr = dgB(tr, f2r) - dgB(ti, f2i)          # (br, k1, k2)
+    Pi = dgB(tr, f2i) + dgB(ti, f2r)
+    Rr, Ri = _mirror_core(Pr, Pi, j1m, j2a, j2b)
+    Sr, Si = Pr + Rr, Pi - Ri
+    Dr, Di = Pr - Rr, Pi + Ri
+    Zr = 0.5 * (Sr + er * Di + ei * Dr)
+    Zi = 0.5 * (Si - (er * Dr - ei * Di))
+    Zi = jnp.where(mask00 > 0, Pr - Pi, Zi)    # pack Z[M] into Im(DC)
+    return Zr.reshape(br, m), Zi.reshape(br, m)
+
+
+def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
+    """(br, M) half-spectrum pair -> (br, N) split-layout real rows."""
+    f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, wr, wi, mask00 = mats
+    br = zr2d.shape[0]
+    m = n1 * n2
+    Z3r = zr2d.reshape(br, n1, n2)
+    Z3i = zi2d.reshape(br, n1, n2)
+    Rr, Ri = _mirror_core(Z3r, Z3i, j1m, j2a, j2b)
+    Erg = 0.5 * (Z3r + Rr)
+    Eig = 0.5 * (Z3i - Ri)
+    Dr = 0.5 * (Z3r - Rr)
+    Di = 0.5 * (Z3i + Ri)
+    Org = wr * Dr - wi * Di
+    Oig = wr * Di + wi * Dr
+    msk = mask00 > 0
+    Er = jnp.where(msk, 0.5 * (Z3r + Z3i), Erg)
+    Ei = jnp.where(msk, 0.0, Eig)
+    Or = jnp.where(msk, 0.5 * (Z3r - Z3i), Org)
+    Oi = jnp.where(msk, 0.0, Oig)
+    Pr = Er - Oi
+    Pi = Ei + Or
+
+    def dgB(v, mat):                           # contract k2
+        return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    ar = dgB(Pr, f2r) - dgB(Pi, f2i)           # (br, k1, j2)
+    ai = dgB(Pr, f2i) + dgB(Pi, f2r)
+    tr_ = ar * trt.T - ai * tit.T
+    ti_ = ar * tit.T + ai * trt.T
+
+    def dgC(v, mat):                           # contract k1 -> (br, j2, j1)
+        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    pr_ = dgC(tr_, f1r) - dgC(ti_, f1i)
+    pi_ = dgC(tr_, f1i) + dgC(ti_, f1r)
+    pr_ = jnp.swapaxes(pr_, 1, 2) * scale
+    pi_ = jnp.swapaxes(pi_, 1, 2) * scale
+    return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)], axis=1)
+
+
+def _w_rfwd_kernel(n1, n2, x_ref, *refs):
+    mats = tuple(r[:] for r in refs[:12])
+    or_ref, oi_ref = refs[12], refs[13]
+    zr, zi = _w_rfwd_core(x_ref[:].astype(jnp.float32), n1, n2, mats)
+    or_ref[:] = zr.astype(or_ref.dtype)
+    oi_ref[:] = zi.astype(oi_ref.dtype)
+
+
+def _w_rinv_kernel(n1, n2, scale, zr_ref, zi_ref, *refs):
+    mats = tuple(r[:] for r in refs[:12])
+    out_ref = refs[12]
+    out = _w_rinv_core(zr_ref[:].astype(jnp.float32),
+                       zi_ref[:].astype(jnp.float32), n1, n2, scale, mats)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _const_specs(mats):
+    return [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for a in mats]
+
+
+def rfft_w(x, block_rows=None):
+    """(m, N) split-layout real rows -> half-spectrum (m, N/2) r/i pair."""
+    m_rows, n_full = x.shape
+    mh = n_full // 2
+    block_rows = block_rows or _w_block_rows(m_rows, n_full)
+    mats, scale, n1, n2 = _rplan_mats(n_full, False)
+    in_spec = pl.BlockSpec((block_rows, n_full), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_rows, mh), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_w_rfwd_kernel, n1, n2),
+        grid=(m_rows // block_rows,),
+        in_specs=[in_spec] + _const_specs(mats),
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((m_rows, mh), _IO_DTYPE),) * 2,
+        interpret=_INTERPRET,
+    )(x, *mats)
+
+
+def irfft_w(zr, zi, block_rows=None, out_dtype=jnp.float32):
+    """(m, N/2) half-spectrum pair -> (m, N) split-layout real rows."""
+    m_rows, mh = zr.shape
+    n_full = 2 * mh
+    block_rows = block_rows or _w_block_rows(m_rows, n_full)
+    mats, scale, n1, n2 = _rplan_mats(n_full, True)
+    spec_half = pl.BlockSpec((block_rows, mh), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_full = pl.BlockSpec((block_rows, n_full), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_w_rinv_kernel, n1, n2, scale),
+        grid=(m_rows // block_rows,),
+        in_specs=[spec_half, spec_half] + _const_specs(mats),
+        out_specs=spec_full,
+        out_shape=jax.ShapeDtypeStruct((m_rows, n_full), out_dtype),
+        interpret=_INTERPRET,
+    )(zr, zi, *mats)
+
+
+# ---------------------------------------------------------------------------
+# fused ADMM state kernels, half-spectrum variant.  Same state algebra
+# as _e1_kernel/_e2_kernel (module comment above) with two changes:
+# spatial planes are stored in the even/odd split lane layout, so the
+# W-axis TV rolls act on the two halves, and the in-kernel W transforms
+# are the packed-real half-spectrum cores — the rk/v spectra leave the
+# kernel at HALF width.
+# ---------------------------------------------------------------------------
+
+
+def _split_roll_p1(x, mh):
+    """roll(x, +1) along natural W lanes, in split layout."""
+    ev, od = x[:, :mh], x[:, mh:]
+    return jnp.concatenate(
+        [jnp.concatenate([od[:, -1:], od[:, :-1]], axis=1), ev], axis=1)
+
+
+def _split_roll_m1(x, mh):
+    """roll(x, -1) along natural W lanes, in split layout."""
+    ev, od = x[:, :mh], x[:, mh:]
+    return jnp.concatenate(
+        [od, jnp.concatenate([ev[:, 1:], ev[:, :1]], axis=1)], axis=1)
+
+
+def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau,
+                imgp_ref, imgc_ref, imgn_ref, eta0c_ref, eta0n_ref, eta1_ref,
+                u0c_ref, u0n_ref, u1_ref, rho_ref, xi_ref, fwd_ref,
+                xd_ref, dp_ref, *refs):
+    mats = tuple(r[:] for r in refs[:12])
+    (rkr_ref, rki_ref, vr_ref, vi_ref,
+     eta0o_ref, eta1o_ref, u0o_ref, u1o_ref, xo_ref) = refs[12:]
+    f32 = jnp.float32
+    img_c = imgc_ref[:].astype(f32)
+    # H-axis TV: same halo scheme as _e1_kernel (lane layout irrelevant)
+    ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
+                            imgn_ref[:].astype(f32)[:1]], axis=0)
+    psi0_ext = ximg[:-1] - ximg[1:]
+    eta0_ext = jnp.concatenate([eta0c_ref[:], eta0n_ref[:][:1]], axis=0)
+    u0_ext = jnp.concatenate([u0c_ref[:], u0n_ref[:][:1]], axis=0)
+    eta0_eff = eta0_ext + mu2 * (psi0_ext - u0_ext)
+    thr = tau / mu2
+    u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
+    a0 = mu2 * u0_new - eta0_eff
+    adj0 = a0[1:] - a0[:-1]
+    eta0o_ref[:] = eta0_eff[:-1]
+    u0o_ref[:] = u0_new[:-1].astype(u0o_ref.dtype)
+
+    # W-axis TV in split layout
+    psi1 = _split_roll_p1(img_c, mh) - img_c
+    eta1_eff = eta1_ref[:] + mu2 * (psi1 - u1_ref[:].astype(f32))
+    u1_new = _soft(psi1 + eta1_eff / mu2, thr)
+    a1 = mu2 * u1_new - eta1_eff
+    adj1 = _split_roll_m1(a1, mh) - a1
+    eta1o_ref[:] = eta1_eff
+    u1o_ref[:] = u1_new.astype(u1o_ref.dtype)
+
+    rho = rho_ref[:]
+    W = jnp.maximum(rho / mu3 + img_c, 0.0)
+    rk = (mu3 * W - rho) + adj0 + adj1
+    xi = xi_ref[:]
+    X = xd_ref[:] * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:])
+    xo_ref[:] = X
+    v = mu1 * X - xi
+
+    zr, zi = _w_rfwd_core(rk, n1, n2, mats)
+    rkr_ref[:] = zr.astype(rkr_ref.dtype)
+    rki_ref[:] = zi.astype(rki_ref.dtype)
+    zr, zi = _w_rfwd_core(v, n1, n2, mats)
+    vr_ref[:] = zr.astype(vr_ref.dtype)
+    vi_ref[:] = zi.astype(vi_ref.dtype)
+
+
+def _e2r_kernel(n1, n2, scale, mu1, mu3,
+                a0r_ref, a0i_ref, a1r_ref, a1i_ref, xi_ref, x_ref, rho_ref,
+                imgo_ref, *refs):
+    mats = tuple(r[:] for r in refs[:12])
+    img_ref, fwd_ref, xio_ref, rhoo_ref = refs[12:]
+    f32 = jnp.float32
+    image = _w_rinv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
+                         n1, n2, scale, mats)
+    fwd = _w_rinv_core(a1r_ref[:].astype(f32), a1i_ref[:].astype(f32),
+                       n1, n2, scale, mats)
+    img_ref[:] = image.astype(img_ref.dtype)
+    fwd_ref[:] = fwd.astype(fwd_ref.dtype)
+    xi = xi_ref[:]
+    xio_ref[:] = xi + mu1 * (fwd - x_ref[:])
+    rho = rho_ref[:]
+    W = jnp.maximum(rho / mu3 + imgo_ref[:].astype(f32), 0.0)
+    rhoo_ref[:] = rho + mu3 * (image - W)
+
+
+def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
+              mu1, mu2, mu3, tau, block_rows=None):
+    """Half-spectrum fused ADMM pre-transform step.  Spatial planes in
+    split lane layout (m, N); returns rk/v HALF-spectra (m, N/2) plus
+    (eta0', eta1', u0', u1', X)."""
+    m, n_full = xi.shape
+    mh = n_full // 2
+    br = block_rows or _e_block_rows(m, n_full)
+    nb = m // br
+    mats, scale, n1, n2 = _rplan_mats(n_full, False)
+    spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((br, n_full), lambda i: ((i - 1) % nb, 0),
+                          memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((br, n_full), lambda i: ((i + 1) % nb, 0),
+                          memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
+    io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
+    f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
+    return pl.pallas_call(
+        partial(_e1r_kernel, n1, n2, mh, mu1, mu2, mu3, tau),
+        grid=(nb,),
+        in_specs=[spec_p, spec_c, spec_n,          # image halo refs
+                  spec_c, spec_n,                  # eta0
+                  spec_c,                          # eta1
+                  spec_c, spec_n,                  # u0
+                  spec_c,                          # u1
+                  spec_c, spec_c, spec_c,          # rho, xi, fwd
+                  spec_c, spec_c]                  # Xd, dp
+                 + _const_specs(mats),
+        out_specs=(spec_h,) * 4 + (spec_c,) * 5,
+        out_shape=(io_h, io_h, io_h, io_h,          # rk/v half spectra
+                   f32_sh, f32_sh,                  # eta'
+                   io_sh, io_sh,                    # u'
+                   f32_sh),                         # X
+        interpret=_INTERPRET,
+    )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi, fwd,
+      xd, dp, *mats)
+
+
+def e2_rfused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
+              block_rows=None):
+    """Half-spectrum fused ADMM post-transform step.  Returns
+    (image', fwd', xi', rho') with spatial planes in split lane layout."""
+    m, n_full = xi.shape
+    mh = n_full // 2
+    br = block_rows or _e_block_rows(m, n_full)
+    nb = m // br
+    mats, scale, n1, n2 = _rplan_mats(n_full, True)
+    spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
+    f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
+    return pl.pallas_call(
+        partial(_e2r_kernel, n1, n2, scale, mu1, mu3),
+        grid=(nb,),
+        in_specs=[spec_h] * 4 + [spec_c] * 4 + _const_specs(mats),
+        out_specs=(spec_c,) * 4,
+        out_shape=(io_sh, io_sh, f32_sh, f32_sh),
+        interpret=_INTERPRET,
+    )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, *mats)
+
+
 def ifft_h_dual(vr, vi, hr, hi, h):
     """(image_plane, forward_plane) = (ifft_h(v), ifft_h(H*v)) with the
     spectrum read once and the filter multiply fused."""

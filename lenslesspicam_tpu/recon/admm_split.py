@@ -13,6 +13,7 @@ Numerics: identical to admm.run up to f32 matmul accumulation error
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -183,6 +184,165 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     return jnp.maximum(crop, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# half-spectrum (rfft-packed) fused path.  Spatial planes ride in the
+# even/odd split lane layout; spectra, filter constants, and all H-axis
+# kernel work are HALF width (ops/pallas_fft.py rfft section).  The one
+# packed DC lane (Z[0] + i Z[M]) is recomputed exactly in XLA each
+# iteration (two spatial columns, negligible) and patched in before the
+# inverse — everything else is bit-equivalent to the full-width path.
+# ---------------------------------------------------------------------------
+
+
+class RSplitPrecomp(NamedTuple):
+    Hr: jax.Array        # (Ph, Pw/2) half-spectrum planes, split order
+    Hi: jax.Array
+    R: jax.Array
+    X_divmat: jax.Array  # (Ph, Pw) spatial, split lane layout
+    data_pad: jax.Array
+    # (Ph,) filter columns at kw = 0 / M, r/i separated (complex64
+    # host->device transfer is unimplemented on the axon tunnel)
+    H0r: jax.Array
+    H0i: jax.Array
+    HMr: jax.Array
+    HMi: jax.Array
+    R0: jax.Array        # (Ph,) f32
+    RM: jax.Array
+    psf_shape: tuple
+    padded_shape: tuple
+    start: tuple
+
+
+def precompute_rsplit(psf2d: np.ndarray, data2d: np.ndarray,
+                      params: ADMMParams = ADMMParams()) -> RSplitPrecomp:
+    """Half-spectrum split precompute for a (H, W) grayscale
+    PSF/measurement (same spectra as precompute_split, stored at half
+    width + the DC/Nyquist patch columns)."""
+    nh, nw = psf2d.shape
+    ph, pw = padded_size(nh), padded_size(nw)
+    assert ph % 2 == 0 and pw % 2 == 0
+    sy, sx = (ph - nh) // 2, (pw - nw) // 2
+    mh = pw // 2
+
+    pad = np.zeros((ph, pw), np.float32)
+    pad[sy : sy + nh, sx : sx + nw] = psf2d
+    H_nat = np.fft.fft2(pad).astype(np.complex64)
+    mask = np.outer((-1.0) ** np.arange(ph), (-1.0) ** np.arange(pw)).astype(np.float32)
+    H_nat = H_nat * mask
+
+    kern = np.zeros((ph, pw), np.float32)
+    kern[0, 0] = 4.0
+    kern[0, 1] = kern[0, -1] = kern[1, 0] = kern[-1, 0] = -1.0
+    psi = np.abs(np.fft.fft2(kern))
+    R_nat = 1.0 / (params.mu1 * np.abs(H_nat) ** 2 + params.mu2 * psi + params.mu3)
+    R_nat = R_nat.astype(np.float32)
+
+    H_half = pf.spectrum_to_half_split(H_nat)
+    R_half = pf.spectrum_to_half_split(R_nat)
+
+    def to_split(x):
+        return np.ascontiguousarray(
+            np.concatenate([x[:, 0::2], x[:, 1::2]], axis=1))
+
+    ones_pad = np.zeros((ph, pw), np.float32)
+    ones_pad[sy : sy + nh, sx : sx + nw] = 1.0
+    X_divmat = (1.0 / (ones_pad + params.mu1)).astype(np.float32)
+    data_pad = np.zeros((ph, pw), np.float32)
+    data_pad[sy : sy + nh, sx : sx + nw] = data2d
+
+    return RSplitPrecomp(
+        Hr=jnp.asarray(np.ascontiguousarray(H_half.real)),
+        Hi=jnp.asarray(np.ascontiguousarray(H_half.imag)),
+        R=jnp.asarray(np.ascontiguousarray(R_half)),
+        X_divmat=jnp.asarray(to_split(X_divmat)),
+        data_pad=jnp.asarray(to_split(data_pad)),
+        H0r=jnp.asarray(np.ascontiguousarray(H_nat[:, 0].real)),
+        H0i=jnp.asarray(np.ascontiguousarray(H_nat[:, 0].imag)),
+        HMr=jnp.asarray(np.ascontiguousarray(H_nat[:, mh].real)),
+        HMi=jnp.asarray(np.ascontiguousarray(H_nat[:, mh].imag)),
+        R0=jnp.asarray(R_nat[:, 0]),
+        RM=jnp.asarray(R_nat[:, mh]),
+        psf_shape=(nh, nw),
+        padded_shape=(ph, pw),
+        start=(sy, sx),
+    )
+
+
+def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
+                     n_iter: int = 100) -> jax.Array:
+    """Fully-fused grayscale ADMM on the half-spectrum backend.  Same
+    state algebra as run_split (reference ordering
+    lensless/recon/admm.py); HBM traffic of every spectrum pass halves."""
+    from ..ops import pallas_kernels2 as pk2
+
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+    ph, pw = pre.padded_shape
+    io = pk2._IO_DTYPE
+    f32 = jnp.float32
+    Hr_c, Hi_c, R_c = (jnp.asarray(pre.Hr, io), jnp.asarray(pre.Hi, io),
+                       jnp.asarray(pre.R, io))
+    zeros = jnp.zeros((ph, pw), f32)
+    zeros_io = jnp.zeros((ph, pw), io)
+    state = dict(image=zeros_io, fwd=zeros_io, xi=zeros, rho=zeros,
+                 eta0=zeros, eta1=zeros, u0=zeros_io, u1=zeros_io)
+    H0 = jax.lax.complex(pre.H0r, pre.H0i)
+    HM = jax.lax.complex(pre.HMr, pre.HMi)
+
+    def body(_, s):
+        (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_rfused(
+            s["image"], s["fwd"], s["xi"], s["rho"], s["eta0"], s["eta1"],
+            s["u0"], s["u1"], pre.X_divmat, pre.data_pad, mu1, mu2, mu3, tau)
+        # exact DC (kw=0) and Nyquist (kw=M) columns on the side: the
+        # packed lane is not separable under the filter multiply, so the
+        # two real spatial columns are convolved directly in XLA
+        A0 = jnp.fft.fft(rkr[:, 0].astype(f32))
+        AM = jnp.fft.fft(rki[:, 0].astype(f32))
+        B0 = jnp.fft.fft(vr_[:, 0].astype(f32))
+        BM = jnp.fft.fft(vi_[:, 0].astype(f32))
+        F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
+        FM = pre.RM * (AM + jnp.conj(HM) * BM)
+        i0 = jnp.fft.ifft(F0).real
+        iM = jnp.fft.ifft(FM).real
+        f0 = jnp.fft.ifft(H0 * F0).real
+        fM = jnp.fft.ifft(HM * FM).real
+
+        ar, ai = pk2.fft_h(rkr, rki, ph)
+        fr, fi = pk2.fft_h_combine(vr_, vi_, ar, ai, Hr_c, Hi_c, R_c, ph)
+        (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
+        a0r = a0r.at[:, 0].set(i0.astype(io))
+        a0i = a0i.at[:, 0].set(iM.astype(io))
+        a1r = a1r.at[:, 0].set(f0.astype(io))
+        a1i = a1i.at[:, 0].set(fM.astype(io))
+        imgn, fwdn, xin, rhon = pk2.e2_rfused(a0r, a0i, a1r, a1i, s["xi"], X,
+                                              s["rho"], s["image"], mu1, mu3)
+        return dict(image=imgn, fwd=fwdn, xi=xin, rho=rhon,
+                    eta0=eta0n, eta1=eta1n, u0=u0n, u1=u1n)
+
+    state = jax.lax.fori_loop(0, n_iter, body, state)
+    img = pf.from_split_layout(state["image"].astype(f32))
+    sy, sx = pre.start
+    nh, nw = pre.psf_shape
+    return jnp.maximum(img[sy : sy + nh, sx : sx + nw], 0.0)
+
+
+@partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start",
+                                   "params"))
+def _run_rsplit_jit(Hr, Hi, R, X_divmat, data_pad, H0r, H0i, HMr, HMi,
+                    R0, RM, psf_shape, padded_shape, start, params, n_iter):
+    pre = RSplitPrecomp(Hr, Hi, R, X_divmat, data_pad, H0r, H0i, HMr, HMi,
+                        R0, RM, psf_shape, padded_shape, start)
+    return run_split_rfused(pre, params, n_iter)
+
+
+def run_rsplit_jit(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
+                   n_iter=100):
+    """jit entry for the half-spectrum fused backend."""
+    return _run_rsplit_jit(pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
+                           pre.H0r, pre.H0i, pre.HMr, pre.HMi, pre.R0, pre.RM,
+                           pre.psf_shape, pre.padded_shape, pre.start, params,
+                           jnp.asarray(n_iter))
+
+
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
               n_iter: int = 100, backend: str = "jax") -> jax.Array:
     """Grayscale single-image ADMM on the split-FFT backend; returns the
@@ -257,9 +417,6 @@ def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     nh, nw = pre.psf_shape
     crop = state["image"][sy : sy + nh, sx : sx + nw].astype(jnp.float32)
     return jnp.maximum(crop, 0.0)
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start",

@@ -62,6 +62,35 @@ def admm_bytes_per_iter(padded_shape, channels=1, dtype_bytes=4) -> int:
     return elementwise + ffts
 
 
+def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
+                              channels=1) -> int:
+    """HBM traffic of one iteration of the FUSED Pallas ADMM pipeline
+    (recon/admm_split.run_split_rfused / run_split_fused), counted from
+    the kernel block specs:
+
+    e1: reads image x3 (halo refs) + u0 x2 + fwd + u1 (io) and eta0 x2 +
+        eta1 + rho + xi + Xd + dp (f32); writes rk/v spectra (4 half
+        planes, io) + u0'/u1' (io) + eta' x2 + X (f32).
+    fft_h:   4 half-plane passes in + out  (io)
+    combine: passA 4 + passB 9 half planes (io)
+    dual:    passB 8 + 2x passA 8 half planes (io)
+    e2: reads 4 half spectra + image_old (io), xi/X/rho (f32); writes
+        image/fwd (io), xi'/rho' (f32).
+
+    half_spectrum=False doubles the spectrum planes (full-width path).
+    """
+    d, ph, pw = padded_shape[0], padded_shape[1], padded_shape[2]
+    a = d * ph * pw * channels            # elements per full plane
+    h = 0.5 if half_spectrum else 1.0     # spectrum plane scale
+    io_planes = (7 + 2 + 4 * h            # e1 reads + writes
+                 + 8 * h                  # fft_h
+                 + 13 * h                 # fft_h_combine
+                 + 16 * h                 # ifft_h_dual
+                 + 4 * h + 1 + 2)         # e2
+    f32_planes = 7 + 3 + 3 + 2            # e1 + e2 f32 state
+    return int(a * (io_planes * io_bytes + f32_planes * 4))
+
+
 def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
                     hbm_bw=8.2e11) -> dict:
     """Fraction of speed-of-light HBM bandwidth achieved by ADMM.
@@ -72,7 +101,11 @@ def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
 
     ph = padded_size(shape[0])
     pw = padded_size(shape[1])
-    bytes_per_iter = admm_bytes_per_iter((1, ph, pw), channels)
+    import os
+    io_bytes = 2 if os.environ.get("LPT_SPLIT_IO", "").lower() == "bf16" else 4
+    bytes_per_iter = fused_admm_bytes_per_iter((1, ph, pw), io_bytes,
+                                               half_spectrum=True,
+                                               channels=channels)
     out = {
         "padded_shape": (ph, pw),
         "bytes_per_iter": bytes_per_iter,

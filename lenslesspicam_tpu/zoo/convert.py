@@ -114,6 +114,100 @@ def torch_unet_to_flax(state_dict, nb: int = 2) -> dict:
     return {"params": p}
 
 
+def _get_np(state_dict, key):
+    w = state_dict[key]
+    return np.asarray(w.numpy() if hasattr(w, "numpy") else w)
+
+
+def _double_conv(state_dict, prefix):
+    """torch DoubleConv (multi_wiener.py:18-35: conv/BN/ReLU x2, conv at
+    flattened indices 0/3, BN at 1/4) -> flax params + batch_stats."""
+
+    def bn(idx):
+        return (
+            {"scale": _get_np(state_dict, f"{prefix}.{idx}.weight"),
+             "bias": _get_np(state_dict, f"{prefix}.{idx}.bias")},
+            {"mean": _get_np(state_dict, f"{prefix}.{idx}.running_mean"),
+             "var": _get_np(state_dict, f"{prefix}.{idx}.running_var")},
+        )
+
+    bn0_p, bn0_s = bn(1)
+    bn1_p, bn1_s = bn(4)
+    params = {
+        "Conv_0": {"kernel": _conv_w(_get_np(state_dict, f"{prefix}.0.weight"))},
+        "BatchNorm_0": bn0_p,
+        "Conv_1": {"kernel": _conv_w(_get_np(state_dict, f"{prefix}.3.weight"))},
+        "BatchNorm_1": bn1_p,
+    }
+    stats = {"BatchNorm_0": bn0_s, "BatchNorm_1": bn1_s}
+    return params, stats
+
+
+def torch_multiwiener_to_flax(state_dict, nc=(64, 128, 256, 512, 512)) -> dict:
+    """Map a reference MultiWiener state dict (multi_wiener.py:87-296)
+    to flax variables for models.multi_wiener.MultiWiener — incl. the
+    'avgpool_conv' -> 'pool_conv' hotfix rename (model_dict.py:545-549).
+    Returns {'params': ..., 'batch_stats': ...}."""
+    sd = {k.replace("avgpool_conv", "pool_conv"): v
+          for k, v in state_dict.items()}
+    n = len(nc)
+    params: dict = {}
+    stats: dict = {}
+
+    def put(name, prefix):
+        params[name], stats[name] = _double_conv(sd, prefix)
+
+    put("inc", "inc.double_conv")
+    put("inc0", "inc0.double_conv")
+    for i in range(n - 1):
+        p, s = _double_conv(sd, f"down_layers.{i}.pool_conv.1.double_conv")
+        params[f"down{i}"] = {"DoubleConv_0": p}
+        stats[f"down{i}"] = {"DoubleConv_0": s}
+    for i in range(n - 2):
+        p, s = _double_conv(sd, f"psf_down.{i}.pool_conv.1.double_conv")
+        params[f"psf_down{i}"] = {"DoubleConv_0": p}
+        stats[f"psf_down{i}"] = {"DoubleConv_0": s}
+    for i in range(n - 1):
+        p, s = _double_conv(sd, f"up_layers.{i}.conv.double_conv")
+        params[f"up{i}"] = {"DoubleConv_0": p}
+        stats[f"up{i}"] = {"DoubleConv_0": s}
+    params["outc"] = {"kernel": _conv_w(_get_np(sd, "outc.conv.weight")),
+                      "bias": _get_np(sd, "outc.conv.bias")}
+    params["delta"] = _get_np(sd, "delta")
+    # torch w is (1, psf_channels, 1, 1); flax (1, 1, 1, psf_channels)
+    params["w"] = np.transpose(_get_np(sd, "w"), (0, 2, 3, 1))
+    return {"params": params, "batch_stats": stats}
+
+
+def torch_compensation_to_flax(state_dict, nc) -> dict:
+    """Map a reference CompensationBranch state dict (recon/utils.py:84-175:
+    branch_layers double-conv+max-pool, residual ResBlocks) to flax params
+    for models.compensation.CompensationBranch."""
+    n = len(nc)
+    params: dict = {}
+
+    def dconv(prefix):
+        # double_cnn_max_pool (utils.py:33-52): conv at 0, BN at 1, conv 3, BN 4
+        # (the reference uses no BN here — plain conv/relu at 0 and 2)
+        return {
+            "conv1": {"kernel": _conv_w(_get_np(state_dict, f"{prefix}.0.weight")),
+                      "bias": _get_np(state_dict, f"{prefix}.0.bias")},
+            "conv2": {"kernel": _conv_w(_get_np(state_dict, f"{prefix}.2.weight")),
+                      "bias": _get_np(state_dict, f"{prefix}.2.bias")},
+        }
+
+    for i in range(n):
+        params[f"branch{i}"] = dconv(f"branch_layers.{i}")
+    for i in range(n - 1):
+        params[f"residual{i}"] = {
+            "conv1": {"kernel": _conv_w(_get_np(state_dict, f"residual_layers.{i}.layers.0.weight")),
+                      "bias": _get_np(state_dict, f"residual_layers.{i}.layers.0.bias")},
+            "conv2": {"kernel": _conv_w(_get_np(state_dict, f"residual_layers.{i}.layers.2.weight")),
+                      "bias": _get_np(state_dict, f"residual_layers.{i}.layers.2.bias")},
+        }
+    return {"params": params}
+
+
 def torch_unrolled_admm_params(state_dict) -> dict:
     """Map UnrolledADMM hyper-parameter vectors (unrolled_admm.py:83-94)."""
 

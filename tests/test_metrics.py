@@ -1,6 +1,7 @@
 """Metric properties + benchmark harness."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -71,6 +72,107 @@ def test_benchmark_harness():
     res = benchmark(reconstruct, batches)
     assert set(res) == {"MSE", "PSNR", "SSIM"}
     assert all(np.isfinite(v) for v in res.values())
+
+
+def test_ssim_matches_torchmetrics_algorithm():
+    """Cross-check SSIM against an independent numpy implementation of
+    torchmetrics' algorithm (reflect-pad, 11x11 gaussian sigma 1.5,
+    crop the pad border, mean over interior) — the metric the reference
+    benchmark reports (lensless/eval/benchmark.py:152)."""
+
+    def np_ssim_torchmetrics(a, b, data_range=1.0, size=11, sigma=1.5,
+                             k1=0.01, k2=0.03):
+        pad = (size - 1) // 2
+        x = np.arange(size) - pad
+        g = np.exp(-(x**2) / (2 * sigma**2))
+        g = g / g.sum()
+        kern = np.outer(g, g)
+
+        def filt(img):
+            padded = np.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+            out = np.zeros_like(img)
+            for i in range(img.shape[0]):
+                for j in range(img.shape[1]):
+                    out[i, j] = np.sum(padded[i:i + size, j:j + size] * kern)
+            return out
+
+        c1 = (k1 * data_range) ** 2
+        c2 = (k2 * data_range) ** 2
+        mu_a, mu_b = filt(a), filt(b)
+        saa = filt(a * a) - mu_a**2
+        sbb = filt(b * b) - mu_b**2
+        sab = filt(a * b) - mu_a * mu_b
+        num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+        den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
+        ssim_map = num / den
+        return ssim_map[pad:-pad, pad:-pad].mean()   # torchmetrics crop
+
+    rng = np.random.RandomState(9)
+    a = rng.rand(40, 48).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.randn(40, 48).astype(np.float32), 0, 1)
+    ref = np_ssim_torchmetrics(a.astype(np.float64), b.astype(np.float64))
+    ours = float(np.asarray(M.ssim(jnp.asarray(a)[None, :, :, None],
+                                   jnp.asarray(b)[None, :, :, None]))[0])
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_benchmark_full_metrics():
+    """Reference default metric schema: MSE / PSNR / SSIM /
+    ReconstructionError (+ LPIPS with weights), unrolled-output metrics,
+    pre-processor aux error (benchmark.py:141-155, 382-445)."""
+    from lenslesspicam_tpu.eval.lpips import LPIPS, random_params
+    from lenslesspicam_tpu.recon.base import ADMM
+
+    rng = np.random.RandomState(6)
+    psf = rng.rand(1, 24, 32, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    model = ADMM(psf, n_iter=3)
+    lp = LPIPS()
+    lp_params = random_params(jax.random.PRNGKey(0), image_shape=(1, 24, 32, 3))
+    lpips_fn = jax.jit(lambda p, t: lp.apply(lp_params, p, t))
+
+    def reconstruct(lensless):
+        pred = model.batch_apply(lensless)
+        unrolled = pred * 0.9          # stand-ins for intermediates
+        preproc = lensless
+        return pred, unrolled, preproc, None
+
+    batches = [{
+        "lensless": rng.rand(2, 1, 24, 32, 3).astype(np.float32),
+        "lensed": rng.rand(2, 1, 24, 32, 3).astype(np.float32),
+    }]
+    res = benchmark(reconstruct, batches, model=model, lpips_fn=lpips_fn,
+                    unrolled_output_factor=True, pre_process_aux=True)
+    expected = {"MSE", "PSNR", "SSIM", "LPIPS_Vgg", "ReconstructionError",
+                "MSE_unrolled", "PSNR_unrolled", "SSIM_unrolled",
+                "LPIPS_Vgg_unrolled", "ReconstructionError_PreProc"}
+    assert expected <= set(res)
+    assert all(np.isfinite(v) for v in res.values())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_benchmark_sharded_matches_single_device():
+    """Mesh-sharded evaluation == unsharded evaluation."""
+    from lenslesspicam_tpu.parallel.sharding import make_mesh
+    from lenslesspicam_tpu.recon import admm
+
+    rng = np.random.RandomState(7)
+    psf = rng.rand(1, 24, 32, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    conv = admm.make_convolver(psf)
+
+    def reconstruct(lensless):
+        return admm.run_jit(conv, lensless, n_iter=5)
+
+    batches = [{
+        "lensless": rng.rand(8, 1, 24, 32, 3).astype(np.float32),
+        "lensed": rng.rand(8, 1, 24, 32, 3).astype(np.float32),
+    }]
+    base = benchmark(reconstruct, batches)
+    mesh = make_mesh(n_data=8)
+    sharded = benchmark(reconstruct, batches, mesh=mesh)
+    for k in base:
+        np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4)
 
 
 def test_shot_noise():

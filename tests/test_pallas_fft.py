@@ -155,6 +155,68 @@ def test_admm_split_fused_matches_jax_backend():
         pk2._set_interpret(False)
 
 
+def test_rfft_w_split_matches_numpy():
+    """Packed-real half-spectrum W transform (XLA reference) == numpy
+    rfft reindexed to the size-M split order; exact roundtrip."""
+    rng = np.random.RandomState(7)
+    for n in (64, 128, 256):
+        m = n // 2
+        x = rng.randn(5, n).astype(np.float32)
+        xs = pf.to_split_layout(jnp.asarray(x))
+        zr, zi = pf.rfft_w_split(xs)
+        Z = np.fft.fft(x, axis=1)
+        idx = pf.split_order_indices(m)
+        gold = Z[:, :m][:, idx]
+        gold[:, 0] = Z[:, 0].real + 1j * Z[:, m].real   # packed DC lane
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        assert np.abs(got - gold).max() / np.abs(gold).max() < 1e-5
+        back = np.asarray(pf.from_split_layout(pf.irfft_w_split(zr, zi)))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_rfft_w_pallas_kernels_interpret():
+    """Packed-real Pallas W kernels (interpret) == the XLA reference."""
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+
+    pk2._set_interpret(True)
+    try:
+        rng = np.random.RandomState(8)
+        x = rng.randn(24, 256).astype(np.float32)
+        xs = pf.to_split_layout(jnp.asarray(x))
+        zr_ref, zi_ref = pf.rfft_w_split(xs)
+        zr, zi = pk2.rfft_w(xs, block_rows=8)
+        np.testing.assert_allclose(np.asarray(zr), np.asarray(zr_ref), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zi), np.asarray(zi_ref), atol=1e-4)
+        back = np.asarray(pf.from_split_layout(pk2.irfft_w(zr, zi, block_rows=8)))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+    finally:
+        pk2._set_interpret(False)
+
+
+def test_admm_rfused_matches_exact_solver():
+    """Half-spectrum fused ADMM (e1_rfused/e2_rfused + DC patch) ==
+    the exact reference-parity solver (interpret mode)."""
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.recon import admm, admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    pk2._set_interpret(True)
+    try:
+        rng = np.random.RandomState(12)
+        psf2d = rng.rand(48, 64).astype(np.float32)
+        psf2d /= np.linalg.norm(psf2d)
+        data2d = rng.rand(48, 64).astype(np.float32)
+        conv = admm.make_convolver(psf2d[None, :, :, None])
+        ref = np.asarray(admm.run_jit(conv, data2d[None, None, :, :, None],
+                                      n_iter=10))[0, 0, :, :, 0]
+        pre = admm_split.precompute_rsplit(psf2d, data2d)
+        out = np.asarray(admm_split.run_rsplit_jit(pre, ADMMParams(), 10))
+        scale = max(np.abs(ref).max(), 1e-9)
+        np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+    finally:
+        pk2._set_interpret(False)
+
+
 def test_admm_split_general_batched_rgb_3d():
     """Batched RGB multi-depth split solver == standard solver."""
     import jax
