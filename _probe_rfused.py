@@ -1,0 +1,31 @@
+import os, sys, time
+os.environ.setdefault("LPT_SPLIT_IO", "bf16")
+os.environ.setdefault("LPT_PALLAS_PRECISION", "default")
+import numpy as np, jax, jax.numpy as jnp
+from lenslesspicam_tpu.recon import admm_split
+
+shape = (3040, 4056)
+rng = np.random.RandomState(0)
+psf2d = rng.rand(*shape).astype(np.float32); psf2d /= np.linalg.norm(psf2d)
+data2d = rng.rand(*shape).astype(np.float32)
+pre = admm_split.precompute_rsplit(psf2d, data2d)
+
+@jax.jit
+def run_sum_r(Hr, Hi, R, Xd, dp, H0r, H0i, HMr, HMi, R0, RM, n):
+    p = admm_split.RSplitPrecomp(Hr, Hi, R, Xd, dp, H0r, H0i, HMr, HMi,
+                                 R0, RM, pre.psf_shape, pre.padded_shape, pre.start)
+    out = admm_split.run_split_rfused(p, admm_split.ADMMParams(), n)
+    return jnp.sum(out[::499, ::499])
+
+args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
+        pre.H0r, pre.H0i, pre.HMr, pre.HMi, pre.R0, pre.RM)
+t0 = time.time()
+v = float(run_sum_r(*args, 2)); print("compile+2it ok", v, time.time()-t0, flush=True)
+best = 0.0
+for _ in range(3):
+    t0 = time.time(); v2 = float(run_sum_r(*args, 52)); dt2 = time.time() - t0
+    t0 = time.time(); v1 = float(run_sum_r(*args, 2)); dt1 = time.time() - t0
+    its = 50 / (dt2 - dt1)
+    best = max(best, its)
+    print(f"iters/s: {its:.2f}", flush=True)
+print(f"BEST {best:.2f} it/s", flush=True)

@@ -215,15 +215,16 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
                 pre = admm_split.precompute_rsplit(psf2d, data2d)
 
                 @jax.jit
-                def run_sum_r(Hr, Hi, R, Xd, dp, H0, HM, R0, RM, n):
+                def run_sum_r(Hr, Hi, R, Xd, dp, H0r, H0i, HMr, HMi,
+                              R0, RM, n):
                     p = admm_split.RSplitPrecomp(
-                        Hr, Hi, R, Xd, dp, H0, HM, R0, RM, pre.psf_shape,
-                        pre.padded_shape, pre.start)
+                        Hr, Hi, R, Xd, dp, H0r, H0i, HMr, HMi, R0, RM,
+                        pre.psf_shape, pre.padded_shape, pre.start)
                     out = admm_split.run_split_rfused(p, admm_split.ADMMParams(), n)
                     return jnp.sum(out[::499, ::499])
 
                 args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
-                        pre.H0, pre.HM, pre.R0, pre.RM)
+                        pre.H0r, pre.H0i, pre.HMr, pre.HMi, pre.R0, pre.RM)
                 val = _timed(lambda k: float(run_sum_r(*args, k)),
                              base_iter, n_iter, repeats)
             else:
@@ -245,7 +246,8 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
             print(f"backend {backend}: {val:.2f} it/s", file=sys.stderr)
             from lenslesspicam_tpu.utils.tracing import roofline_report
 
-            rep = roofline_report(shape, iters_per_s=val)
+            rep = roofline_report(shape, iters_per_s=val,
+                                  half_spectrum=(backend == "rfused"))
             print(f"roofline: {rep['bytes_per_iter'] / 1e9:.2f} GB/iter, "
                   f"SOL {rep['sol_iters_per_s']:.1f} it/s, achieved "
                   f"{100 * rep['fraction_of_sol']:.1f}% of HBM speed-of-light",

@@ -58,7 +58,7 @@ def rotate_HWC(img: np.ndarray, angle: float) -> np.ndarray:
     mat = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
     flat = img.reshape(-1, h, w, img.shape[-1])
     out = np.stack(
-        [cv2.warpAffine(f, mat, (w, h), flags=cv2.INTER_BILINEAR).reshape(h, w, -1)
+        [cv2.warpAffine(f, mat, (w, h), flags=cv2.INTER_LINEAR).reshape(h, w, -1)
          for f in flat]
     )
     return out.reshape(img.shape)

@@ -30,6 +30,7 @@ Numerics identical to the split-order reference pipeline
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
@@ -47,6 +48,35 @@ _INTERPRET = False
 def _set_interpret(flag: bool):
     global _INTERPRET
     _INTERPRET = flag
+
+
+def rfused_mosaic_ok(ph: int, pw: int) -> bool:
+    """Whether Mosaic can compile the packed-real kernel pipeline at
+    this padded grid: the in-kernel ``(br, m) -> (br, n1, n2)`` reshape
+    needs tile-aligned dims (n1 % 8 == 0, n2 % 128 == 0) and the
+    half-width planes must keep 128-aligned lanes for the H kernels.
+    Small grids (tests, bench verification) fall back to interpret."""
+    from .pallas_fft import _factor
+
+    mh = pw // 2
+    n1w, n2w = _factor(mh)
+    n1h, n2h = _factor(ph)
+    return (mh % 128 == 0 and n2w % 128 == 0 and n1w % 8 == 0
+            and n2h % 128 == 0 and n1h % 8 == 0)
+
+
+@contextlib.contextmanager
+def forced_interpret(flag: bool):
+    """Trace-time escape hatch: run kernels in interpret mode when the
+    grid is Mosaic-unsupported (rfused_mosaic_ok) without touching the
+    global test toggle."""
+    global _INTERPRET
+    old = _INTERPRET
+    _INTERPRET = _INTERPRET or flag
+    try:
+        yield
+    finally:
+        _INTERPRET = old
 
 
 def _mats(n, inverse):

@@ -287,6 +287,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                  eta0=zeros, eta1=zeros, u0=zeros_io, u1=zeros_io)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
     HM = jax.lax.complex(pre.HMr, pre.HMi)
+    needs_interp = not pk2.rfused_mosaic_ok(ph, pw)
 
     def body(_, s):
         (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_rfused(
@@ -318,7 +319,8 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         return dict(image=imgn, fwd=fwdn, xi=xin, rho=rhon,
                     eta0=eta0n, eta1=eta1n, u0=u0n, u1=u1n)
 
-    state = jax.lax.fori_loop(0, n_iter, body, state)
+    with pk2.forced_interpret(needs_interp):
+        state = jax.lax.fori_loop(0, n_iter, body, state)
     img = pf.from_split_layout(state["image"].astype(f32))
     sy, sx = pre.start
     nh, nw = pre.psf_shape

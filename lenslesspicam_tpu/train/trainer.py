@@ -64,10 +64,27 @@ class TrainerConfig:
     skip_nan: bool = False
     # ROI crop before loss {'vertical': (v0,v1), 'horizontal': (h0,h1)}
     crop: Optional[dict] = None
+    # augmentation: rotate data+lensed+PSF by uniform(-deg, +deg) per
+    # batch (utils.py:983-993)
+    random_rotate: Optional[float] = None
+    # per-epoch processor schedule (utils.py:1375-1400): epoch at which
+    # the pre/post processor starts being applied / stops / resumes
+    # receiving gradient updates.  None = from the start / never.
+    pre_process_delay: Optional[int] = None
+    post_process_delay: Optional[int] = None
+    pre_process_freeze: Optional[int] = None
+    post_process_freeze: Optional[int] = None
+    pre_process_unfreeze: Optional[int] = None
+    post_process_unfreeze: Optional[int] = None
     # eval / checkpoints
-    metric_for_best: str = "PSNR"  # higher-better metrics: PSNR, SSIM
+    # metric_for_best=None replicates the reference composite eval loss
+    # (utils.py:1235-1253): MSE + lpips*LPIPS + aux terms, lower-better.
+    metric_for_best: Optional[str] = "PSNR"
     save_dir: Optional[str] = None
     eval_batch_size: int = 4
+    # known number of train batches per epoch (avoids materializing the
+    # loader to count it; falls back to len(train_loader()) if sized)
+    steps_per_epoch: Optional[int] = None
 
 
 _HIGHER_BETTER = {"PSNR", "SSIM"}
@@ -161,7 +178,8 @@ class Trainer:
 
     def __init__(self, model, psf, train_loader, test_batches,
                  config: TrainerConfig = TrainerConfig(),
-                 lpips_apply=None, mask=None, seed=0):
+                 lpips_apply=None, mask=None, seed=0,
+                 extra_eval_sets: Optional[dict] = None):
         self.model = model
         self.psf = jnp.asarray(psf)
         self.train_loader = train_loader
@@ -169,10 +187,19 @@ class Trainer:
         self.config = config
         self.lpips_apply = lpips_apply
         self.mask = mask
+        # extra held-out sets (utils.py:1259-1301): name -> dict with
+        # 'batches' and optional 'psf' (used when the set is not
+        # multimask, i.e. its batches don't carry per-sample 'psfs')
+        self.extra_eval_sets = extra_eval_sets or {}
         self.metrics_log: dict = {}
         self.best_metric = None
         self.best_params = None
         self._rng = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.RandomState(seed)
+        # processor schedule state; delays mean "skip until that epoch"
+        self._skip_pre = config.pre_process_delay is not None
+        self._skip_post = config.post_process_delay is not None
+        self._frozen: frozenset = frozenset()
 
         # init params from the first batch
         first = next(iter(train_loader()))
@@ -185,11 +212,15 @@ class Trainer:
         self.variables = self.model.init(sub, data0, psf0, **kwargs)
         self._has_batch_stats = "batch_stats" in self.variables
 
-        steps_per_epoch = max(len(test_batches), 1)
-        try:
-            steps_per_epoch = len(list(train_loader()))
-        except TypeError:
-            pass
+        if config.steps_per_epoch is not None:
+            steps_per_epoch = config.steps_per_epoch
+        else:
+            # only use len() when the loader's iterable is sized — never
+            # materialize it (an HITL loader may block per item)
+            try:
+                steps_per_epoch = len(train_loader())
+            except TypeError:
+                steps_per_epoch = max(len(test_batches), 1)
         self.tx = make_optimizer(config, steps_per_epoch)
         self.opt_state = self.tx.init(self.variables["params"])
 
@@ -197,7 +228,14 @@ class Trainer:
             self.mask_tx = self.mask.make_optimizer()
             self.mask_opt_state = self.mask_tx.init(self.mask.params)
 
-        self._train_step = jax.jit(self._build_train_step())
+        self._rebuild_step()
+
+    def _rebuild_step(self):
+        """(Re)jit the train step for the current skip/freeze
+        configuration — the analog of the reference's re-counting of
+        requires_grad params when the schedule changes (utils.py:1402-1407)."""
+        self._train_step = jax.jit(self._build_train_step(
+            self._skip_pre, self._skip_post, self._frozen))
 
     # ------------------------------------------------------------------
 
@@ -208,9 +246,19 @@ class Trainer:
             return self.mask.get_psf(self.mask.params)
         return self.psf
 
-    def _build_train_step(self):
+    def _active_model(self, skip_pre=False, skip_post=False):
+        """Model with the schedule's skip flags applied (the full param
+        tree is initialized once with everything on; skipped blocks just
+        receive zero gradient)."""
+        if (skip_pre or skip_post) and hasattr(self.model, "skip_pre"):
+            return self.model.clone(skip_pre=skip_pre or self.model.skip_pre,
+                                    skip_post=skip_post or self.model.skip_post)
+        return self.model
+
+    def _build_train_step(self, skip_pre=False, skip_post=False,
+                          frozen: frozenset = frozenset()):
         cfg = self.config
-        model = self.model
+        model = self._active_model(skip_pre, skip_post)
         base_loss = (lambda a, b: jnp.mean(jnp.abs(a - b))) if cfg.loss == "l1" \
             else (lambda a, b: jnp.mean((a - b) ** 2))
         need_inter = bool(cfg.unrolled_output_factor or cfg.pre_proc_aux)
@@ -290,6 +338,13 @@ class Trainer:
                 mask_grads = None
 
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            if frozen:
+                # exact freeze (utils.py:1385-1397 freeze_pre/post_process):
+                # zero the *updates* of frozen top-level blocks so stale
+                # optimizer momentum cannot move them either
+                updates = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                               if k in frozen else v)
+                           for k, v in updates.items()}
             params = optax.apply_updates(params, updates)
 
             if mask_params is not None:
@@ -313,6 +368,18 @@ class Trainer:
             background = (jnp.asarray(batch["background"])
                           if batch.get("background") is not None else None)
             psf = self._batch_psf(batch)
+            if self.config.random_rotate:
+                # random-rotate augmentation of data + truth + PSF
+                # (utils.py:983-993); host-side like the data layer's
+                # other geometry ops — shapes are unchanged so the jitted
+                # step does not retrace
+                from ..data.image import rotate_HWC
+
+                angle = self._np_rng.uniform(-self.config.random_rotate,
+                                             self.config.random_rotate)
+                data = jnp.asarray(rotate_HWC(np.asarray(data), angle))
+                lensed = jnp.asarray(rotate_HWC(np.asarray(lensed), angle))
+                psf = jnp.asarray(rotate_HWC(np.asarray(psf), angle))
             stats = self.variables.get("batch_stats") if self._has_batch_stats else None
             mask_params = self.mask.params if self.mask is not None else None
             mask_opt = self.mask_opt_state if self.mask is not None else None
@@ -329,24 +396,73 @@ class Trainer:
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else float("nan")
 
-    def evaluate(self) -> dict:
+    def _eval_batches(self, batches, psf_default) -> dict:
+        """benchmark() over one eval set with per-batch PSFs and
+        backgrounds forwarded (multimask / background-subtraction models
+        are evaluated with the same inputs they train on)."""
         from ..eval.benchmark import benchmark
 
-        psf = self._batch_psf({})
+        model = self._active_model(self._skip_pre, self._skip_post)
 
-        def reconstruct(lensless):
-            out = self.model.apply(self.variables, lensless, psf)
+        def reconstruct(lensless, psfs=None, background=None):
+            psf = psfs if psfs is not None else psf_default
+            kwargs = {}
+            if background is not None:
+                kwargs["background"] = background
+            out = model.apply(self.variables, lensless, psf, **kwargs)
             return out[0] if isinstance(out, tuple) else out
 
-        return benchmark(reconstruct, self.test_batches, crop=self.config.crop)
+        return benchmark(reconstruct, batches, crop=self.config.crop,
+                         lpips_fn=self.lpips_apply)
+
+    def evaluate(self) -> dict:
+        """Held-out metrics + extra eval sets (utils.py:1186-1309).
+        Extra-set metrics are namespaced ``<set>_<metric>``; sets whose
+        batches carry per-sample 'psfs' (multimask) use those, otherwise
+        the set's own 'psf' (or the training PSF)."""
+        psf = self._batch_psf({})
+        metrics = self._eval_batches(self.test_batches, psf)
+        for name, spec in self.extra_eval_sets.items():
+            set_psf = spec.get("psf")
+            set_psf = psf if set_psf is None else jnp.asarray(set_psf)
+            extra = self._eval_batches(spec["batches"], set_psf)
+            for k, v in extra.items():
+                metrics[f"{name}_{k}"] = v
+        return metrics
 
     def train(self, verbose: bool = True) -> dict:
-        """Full loop: eval at epoch 0, then train/eval per epoch with
-        best-model tracking (utils.py:1356-1419)."""
+        """Full loop: eval at epoch 0, then train/eval per epoch with the
+        processor add/freeze/unfreeze schedule and best-model tracking
+        (utils.py:1356-1419)."""
         metrics0 = self.evaluate()
         self.metrics_log[0] = {"eval": metrics0}
         self._maybe_update_best(metrics0)
-        for epoch in range(1, self.config.epochs + 1):
+        cfg = self.config
+        for epoch in range(1, cfg.epochs + 1):
+            # schedule epochs are 0-based like the reference's loop index
+            e = epoch - 1
+            changed = False
+            if cfg.pre_process_delay is not None and e == cfg.pre_process_delay:
+                self._skip_pre, changed = False, True
+            if cfg.post_process_delay is not None and e == cfg.post_process_delay:
+                self._skip_post, changed = False, True
+            frozen = set(self._frozen)
+            if cfg.pre_process_freeze is not None and e == cfg.pre_process_freeze:
+                frozen.add("pre_block"); changed = True
+            if cfg.post_process_freeze is not None and e == cfg.post_process_freeze:
+                frozen.add("post_block"); changed = True
+            if cfg.pre_process_unfreeze is not None and e == cfg.pre_process_unfreeze:
+                frozen.discard("pre_block"); changed = True
+            if cfg.post_process_unfreeze is not None and e == cfg.post_process_unfreeze:
+                frozen.discard("post_block"); changed = True
+            if changed:
+                self._frozen = frozenset(frozen)
+                self._rebuild_step()
+                if verbose:
+                    print(f"epoch {epoch}: schedule change — "
+                          f"skip_pre={self._skip_pre} skip_post={self._skip_post} "
+                          f"frozen={sorted(self._frozen)}")
+
             train_loss = self.train_epoch()
             eval_metrics = self.evaluate()
             self.metrics_log[epoch] = {"loss": train_loss, "eval": eval_metrics}
@@ -357,13 +473,36 @@ class Trainer:
                 self.save(epoch)
         return self.metrics_log
 
+    def _eval_loss(self, metrics: dict) -> float:
+        """Reference composite eval loss when no best-metric is named
+        (utils.py:1235-1253): MSE + lpips*LPIPS + l1*|mask| (+ aux
+        terms); lower is better."""
+        cfg = self.config
+        loss = metrics.get("MSE", 0.0)
+        if cfg.lpips_weight and "LPIPS_Vgg" in metrics:
+            loss += cfg.lpips_weight * metrics["LPIPS_Vgg"]
+        if cfg.l1_mask and self.mask is not None:
+            for p in jax.tree_util.tree_leaves(self.mask.params):
+                loss += cfg.l1_mask * float(jnp.mean(jnp.abs(p)))
+        if cfg.unrolled_output_factor and "MSE_unrolled" in metrics:
+            aux = metrics["MSE_unrolled"]
+            if cfg.lpips_weight and "LPIPS_Vgg_unrolled" in metrics:
+                aux += cfg.lpips_weight * metrics["LPIPS_Vgg_unrolled"]
+            loss += cfg.unrolled_output_factor * aux
+        if cfg.pre_proc_aux and "ReconstructionError_PreProc" in metrics:
+            loss += cfg.pre_proc_aux * metrics["ReconstructionError_PreProc"]
+        return float(loss)
+
     def _maybe_update_best(self, metrics: dict):
         key = self.config.metric_for_best
-        if key not in metrics:
+        if key is None:
+            val, higher = self._eval_loss(metrics), False
+        elif key in metrics:
+            val, higher = metrics[key], key in _HIGHER_BETTER
+        else:
             return
-        val = metrics[key]
         better = (self.best_metric is None
-                  or (val > self.best_metric if key in _HIGHER_BETTER else val < self.best_metric))
+                  or (val > self.best_metric if higher else val < self.best_metric))
         if better:
             self.best_metric = val
             self.best_params = jax.tree_util.tree_map(lambda x: x, self.variables)
@@ -387,3 +526,40 @@ class Trainer:
         if self.mask is not None:
             np.save(os.path.join(path, "mask_params.npy"),
                     np.asarray(jax.tree_util.tree_leaves(self.mask.params)[0]))
+            # learned PSF alongside the raw mask params (utils.py:1421-1496
+            # saves psf.npy / psf.png per checkpoint)
+            np.save(os.path.join(path, "psf.npy"),
+                    np.asarray(self.mask.get_psf(self.mask.params)))
+
+    def restore(self, ckpt_dir: Optional[str] = None, epoch="BEST"):
+        """Restore model variables from an orbax checkpoint written by
+        ``save`` — the resume path the reference lacks (its Trainer can
+        only load final weights through model_dict).  ``epoch`` is an int
+        or 'BEST'."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(ckpt_dir or self.config.save_dir)
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            self.variables)
+        self.variables = ckptr.restore(
+            os.path.join(path, f"recon_epoch{epoch}"), target)
+        metrics_path = os.path.join(path, "metrics.json")
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                self.metrics_log = {int(k): v for k, v in json.load(f).items()}
+        return self.variables
+
+    def resume(self, ckpt_dir: Optional[str] = None) -> int:
+        """Restore the latest epoch checkpoint + metrics log and return
+        the epoch to continue from."""
+        path = os.path.abspath(ckpt_dir or self.config.save_dir)
+        epochs = sorted(int(d.rsplit("epoch", 1)[1])
+                        for d in os.listdir(path)
+                        if d.startswith("recon_epoch")
+                        and d.rsplit("epoch", 1)[1].isdigit())
+        if not epochs:
+            return 0
+        self.restore(path, epochs[-1])
+        return epochs[-1]

@@ -92,7 +92,7 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
 
 
 def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
-                    hbm_bw=8.2e11) -> dict:
+                    hbm_bw=8.2e11, half_spectrum=True) -> dict:
     """Fraction of speed-of-light HBM bandwidth achieved by ADMM.
 
     hbm_bw defaults to TPU v5e (~820 GB/s).
@@ -104,7 +104,7 @@ def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
     import os
     io_bytes = 2 if os.environ.get("LPT_SPLIT_IO", "").lower() == "bf16" else 4
     bytes_per_iter = fused_admm_bytes_per_iter((1, ph, pw), io_bytes,
-                                               half_spectrum=True,
+                                               half_spectrum=half_spectrum,
                                                channels=channels)
     out = {
         "padded_shape": (ph, pw),

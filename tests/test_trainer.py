@@ -87,3 +87,114 @@ def test_cosine_warmup_schedule():
     vals = [float(sched(e)) for e in (0, 5, 50, 99)]
     assert vals[0] < vals[1]  # warmup rising
     assert vals[1] > vals[2] > vals[3]  # cosine decay
+
+def test_trainer_processor_schedule_and_freeze():
+    """pre_process_delay keeps pre_block out of the forward until its
+    epoch; freeze stops a block's params from moving (utils.py:1375-1400)."""
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(
+        camera_inversion=UnrolledADMM(n_iter=2),
+        pre_process=UNetRes(out_nc=3, nc=(4, 8, 16, 16), nb=1),
+        post_process=UNetRes(out_nc=3, nc=(4, 8, 16, 16), nb=1),
+    )
+    cfg = TrainerConfig(epochs=3, lr=1e-2, pre_process_delay=1,
+                        post_process_freeze=1)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    assert trainer._skip_pre and not trainer._skip_post
+
+    pre0 = jax.tree_util.tree_map(np.asarray,
+                                  trainer.variables["params"]["pre_block"])
+    trainer.train_epoch()  # epoch 0 equivalent: pre skipped -> no grads
+    pre1 = jax.tree_util.tree_map(np.asarray,
+                                  trainer.variables["params"]["pre_block"])
+    for a, b in zip(jax.tree_util.tree_leaves(pre0),
+                    jax.tree_util.tree_leaves(pre1)):
+        np.testing.assert_array_equal(a, b)
+
+    log = trainer.train(verbose=False)
+    assert not trainer._skip_pre           # delay elapsed
+    assert "post_block" in trainer._frozen
+    post_after = trainer.variables["params"]["post_block"]
+    # train once more with post frozen: post params must not move
+    snap = jax.tree_util.tree_map(np.asarray, post_after)
+    trainer.train_epoch()
+    for a, b in zip(jax.tree_util.tree_leaves(snap),
+                    jax.tree_util.tree_leaves(
+                        trainer.variables["params"]["post_block"])):
+        np.testing.assert_array_equal(a, b)
+    assert all(np.isfinite(log[e]["loss"]) for e in (1, 2, 3))
+
+
+def test_trainer_random_rotate_runs():
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=1, lr=1e-3, random_rotate=10.0)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    assert np.isfinite(trainer.train_epoch())
+
+
+def test_trainer_restore_resume(tmp_path):
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=2, lr=1e-2, save_dir=str(tmp_path / "ck"))
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    trainer.train(verbose=False)
+    trained = jax.tree_util.tree_map(np.asarray, trainer.variables["params"])
+
+    fresh = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    epoch = fresh.resume()
+    assert epoch == 2
+    for a, b in zip(jax.tree_util.tree_leaves(trained),
+                    jax.tree_util.tree_leaves(fresh.variables["params"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert fresh.metrics_log  # metrics history restored
+
+
+def test_trainer_eval_forwards_per_batch_psfs():
+    """evaluate() must use per-sample PSFs when batches carry them
+    (round-1 review: the global PSF was always used) — metrics change
+    when the batch PSFs differ from the trainer's global PSF, and are
+    identical when they match it."""
+    rng = np.random.RandomState(3)
+    shape = (1, 24, 32, 3)
+    psf_a = rng.rand(*shape).astype(np.float32); psf_a /= np.linalg.norm(psf_a)
+    psf_b = rng.rand(*shape).astype(np.float32); psf_b /= np.linalg.norm(psf_b)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=4))
+    lensed = rng.rand(2, *shape).astype(np.float32)
+    lensless = rng.rand(2, *shape).astype(np.float32)
+    cfg = TrainerConfig(epochs=1)
+
+    base = [{"lensless": lensless, "lensed": lensed}]
+    trainer = Trainer(model, psf_a, lambda: iter(base), base, cfg)
+    global_only = trainer.evaluate()
+
+    trainer.test_batches = [{"lensless": lensless, "lensed": lensed,
+                             "psfs": np.stack([psf_b, psf_b])}]
+    with_other = trainer.evaluate()
+    assert with_other["MSE"] != global_only["MSE"]
+
+    trainer.test_batches = [{"lensless": lensless, "lensed": lensed,
+                             "psfs": np.stack([psf_a, psf_a])}]
+    with_same = trainer.evaluate()
+    np.testing.assert_allclose(with_same["MSE"], global_only["MSE"], rtol=1e-5)
+
+
+def test_trainer_extra_eval_sets():
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=1)
+    psf_b, batches_b = _setup(n_batches=1, seed=9)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg,
+                      extra_eval_sets={"setB": {"batches": batches_b,
+                                                "psf": psf_b}})
+    metrics = trainer.evaluate()
+    assert "PSNR" in metrics and "setB_PSNR" in metrics
+
+
+def test_trainer_composite_best_metric():
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=1, metric_for_best=None)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    trainer.train(verbose=False)
+    assert trainer.best_metric is not None and np.isfinite(trainer.best_metric)
