@@ -295,7 +295,10 @@ def main():
         run_rung(int(sys.argv[2]))
         return
 
-    base_timeout = int(os.environ.get("BENCH_RUNG_TIMEOUT", "540"))
+    # the rfused 12MP pipeline takes ~17 min to compile cold; the
+    # persistent compilation cache (_setup_jax) makes subsequent runs
+    # fast, but the first run needs the full budget
+    base_timeout = int(os.environ.get("BENCH_RUNG_TIMEOUT", "1200"))
     for idx, (shape, label) in enumerate(RUNGS):
         # the headline rung gets a larger budget (12MP compiles are slow);
         # fallback rungs stay tight so a dead tunnel still degrades fast

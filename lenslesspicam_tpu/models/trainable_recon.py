@@ -32,25 +32,46 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fft_conv import FFTConvolver
-from .unet import crop_from_multiple, pad_to_multiple
+from .unet import (crop_centered, crop_from_multiple, pad_centered_multiple,
+                   pad_to_multiple)
 
 
 class ProcessorBlock(nn.Module):
     """DruNet-style processor wrapper with a learnable noise level
-    (trainable_recon.py:216-219, recon/utils.py:369-394)."""
+    (trainable_recon.py:216-219, recon/utils.py:369-394).
+
+    Restormer nets follow the reference's get_restormer_function
+    (restormer.py:16-49) instead: no noise channel, no max scaling,
+    output clamped to [0, 1].  The unused noise_level param is still
+    created for state-dict parity (trainable_recon.py:216-219 creates
+    process_param for every processor)."""
 
     net: nn.Module
+    mode: str = "auto"  # "drunet" | "restormer"
 
     @nn.compact
     def __call__(self, image, background=None, compensation_output=None, train: bool = False):
         noise_level = self.param("noise_level", lambda _: jnp.ones((1,), jnp.float32))
+        mode = self.mode
+        if mode == "auto":
+            mode = ("restormer" if type(self.net).__name__ == "Restormer"
+                    else "drunet")
+        if mode == "restormer":
+            b, d = image.shape[0], image.shape[1]
+            x2 = image.reshape((b * d,) + image.shape[2:])
+            x2, hw = pad_to_multiple(x2, 8)
+            out = self.net(x2)
+            out = jnp.clip(out, 0.0, 1.0)
+            out = crop_from_multiple(out, hw)
+            return out.reshape((b, d) + out.shape[1:])
         x_max = jnp.max(image, axis=(-1, -2, -3, -4), keepdims=True) + 1e-6
         x = image / x_max
 
-        # fold depth into batch for the conv net (convert_to_NCHW analog)
+        # fold depth into batch for the conv net (convert_to_NCHW analog);
+        # centered always-pad like apply_denoiser (recon/utils.py:282-287)
         b, d = x.shape[0], x.shape[1]
         x2 = x.reshape((b * d,) + x.shape[2:])
-        x2, hw = pad_to_multiple(x2, 8)
+        x2, hwtl = pad_centered_multiple(x2, 8)
         nl = jnp.broadcast_to(
             jnp.abs(noise_level[0]) / 255.0, x2.shape[:-1] + (1,)
         ).astype(x2.dtype)
@@ -60,7 +81,7 @@ class ProcessorBlock(nn.Module):
         if background is not None:
             bg = background / x_max
             bg2 = bg.reshape((b * d,) + bg.shape[2:])
-            bg2, _ = pad_to_multiple(bg2, 8)
+            bg2, _ = pad_centered_multiple(bg2, 8)
             kwargs["background"] = jnp.concatenate(
                 [bg2, jnp.zeros_like(bg2[..., :1])], axis=-1
             )
@@ -71,7 +92,7 @@ class ProcessorBlock(nn.Module):
         except TypeError:
             out = self.net(net_in, **kwargs)
 
-        out = crop_from_multiple(out, hw)
+        out = crop_centered(out, hwtl)
         out = out.reshape((b, d) + out.shape[1:])
         return jnp.clip(out, 0.0, None) * x_max
 

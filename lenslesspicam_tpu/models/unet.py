@@ -101,7 +101,8 @@ class UNetRes(nn.Module):
             )
             latent = jnp.concatenate([x4, comp], axis=-1)
             latent = nn.relu(
-                nn.Conv(nc[3], (3, 3), padding=1, use_bias=False)(latent)
+                nn.Conv(nc[3], (3, 3), padding=1, use_bias=False,
+                        name="body_concat_conv")(latent)
             )
 
         h = latent
@@ -161,8 +162,9 @@ class UNet(nn.Module):
 
 
 def pad_to_multiple(x: jax.Array, mult: int = 8):
-    """Zero-pad spatial dims (-3, -2) up to a multiple (recon/utils.py
-    apply_denoiser pad-to-8); returns (padded, (h, w)) for cropping."""
+    """Zero-pad spatial dims (-3, -2) up to a multiple, bottom-right
+    anchored, no-op when aligned — the RESTORMER pad semantics
+    (recon/restormer.py:25-34); returns (padded, (h, w)) for cropping."""
     h, w = x.shape[-3], x.shape[-2]
     ph = (-h) % mult
     pw = (-w) % mult
@@ -177,13 +179,33 @@ def crop_from_multiple(x: jax.Array, hw):
     return x[..., :h, :w, :]
 
 
+def pad_centered_multiple(x: jax.Array, mult: int = 8):
+    """The DRUNET pad semantics (recon/utils.py apply_denoiser:282-287):
+    pad = mult - dim % mult (so a full ``mult`` even when aligned),
+    split centered.  Returns (padded, (h, w, top, left))."""
+    h, w = x.shape[-3], x.shape[-2]
+    ph = mult - h % mult
+    pw = mult - w % mult
+    top, left = ph // 2, pw // 2
+    cfg = [(0, 0)] * x.ndim
+    cfg[-3] = (top, ph - top)
+    cfg[-2] = (left, pw - left)
+    return jnp.pad(x, cfg), (h, w, top, left)
+
+
+def crop_centered(x: jax.Array, hwtl):
+    h, w, top, left = hwtl
+    return x[..., top : top + h, left : left + w, :]
+
+
 def drunet_denoise(model: UNetRes, params, image: jax.Array, noise_level: float | jax.Array):
     """DruNet-style denoising: concat a constant noise-level channel
-    (scaled /255 like recon/utils.py:230-238), pad to x8, run, crop."""
-    x, hw = pad_to_multiple(image, 8)
+    (scaled /255 like recon/utils.py:230-238), centered pad to x8
+    (apply_denoiser:282-287), run, crop."""
+    x, hwtl = pad_centered_multiple(image, 8)
     nl = jnp.broadcast_to(jnp.asarray(noise_level, x.dtype) / 255.0, x.shape[:-1] + (1,))
     out = model.apply(params, jnp.concatenate([x, nl], axis=-1))
-    return crop_from_multiple(out, hw)
+    return crop_centered(out, hwtl)
 
 
 def load_drunet(path, nc=(64, 128, 256, 512), nb=4):

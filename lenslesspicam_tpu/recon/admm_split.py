@@ -345,6 +345,85 @@ def run_rsplit_jit(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                            jnp.asarray(n_iter))
 
 
+def _to_split_jax(x2d):
+    """Even/odd split lane layout, traced (matches pallas_fft
+    to_split_layout / the numpy to_split in precompute_rsplit)."""
+    return jnp.concatenate([x2d[:, 0::2], x2d[:, 1::2]], axis=1)
+
+
+def precompute_rsplit_general(psf, data, params: ADMMParams = ADMMParams()):
+    """Per-plane half-spectrum precompute for (D, H, W, C) PSFs and
+    (B, D, H, W, C) measurements (the rfused analog of
+    precompute_split_general): plane-stacked RSplitPrecomp arrays."""
+    psf = np.asarray(psf, np.float32)
+    data = np.asarray(data, np.float32)
+    if data.ndim == 3:
+        data = data[None, None]
+    elif data.ndim == 4:
+        data = data[None]
+    depth, nh, nw, ch = psf.shape
+    batch = data.shape[0]
+
+    pres = []
+    for d in range(depth):
+        for c in range(ch):
+            d_idx = min(d, data.shape[1] - 1)
+            pres.append(precompute_rsplit(psf[d, :, :, c],
+                                          data[0, d_idx, :, :, c], params))
+    stacked = RSplitPrecomp(
+        *[jnp.stack([getattr(p, f) for p in pres])
+          for f in ("Hr", "Hi", "R", "X_divmat", "data_pad",
+                    "H0r", "H0i", "HMr", "HMi", "R0", "RM")],
+        psf_shape=pres[0].psf_shape,
+        padded_shape=pres[0].padded_shape,
+        start=pres[0].start,
+    )
+    info = dict(batch=batch, depth=depth, channels=ch)
+    return stacked, info
+
+
+def run_rsplit_general(pre_planes: RSplitPrecomp, info: dict, data,
+                       params: ADMMParams = ADMMParams(),
+                       n_iter: int = 100) -> jax.Array:
+    """Batched RGB/3-D ADMM on the half-spectrum fused backend;
+    returns (B, D, H, W, C).
+
+    The per-plane solver is vmapped over a flat (B * D * C) plane axis —
+    under vmap every Pallas call gains a leading grid dimension, so the
+    whole batch runs as ONE fused kernel pipeline per pass (no Python
+    loop over planes; the reference's batched eval loops per sample,
+    lensless/eval/benchmark.py:169)."""
+    data = jnp.asarray(data, jnp.float32)
+    if data.ndim == 3:
+        data = data[None, None]
+    elif data.ndim == 4:
+        data = data[None]
+    batch, depth, ch = info["batch"], info["depth"], info["channels"]
+    if data.shape[1] == 1 and depth > 1:
+        data = jnp.broadcast_to(data, (data.shape[0], depth) + data.shape[2:])
+    planes = data.transpose(0, 1, 4, 2, 3).reshape(batch, depth * ch,
+                                                   *data.shape[2:4])
+
+    def one_plane(consts, plane2d):
+        (Hr, Hi, R, Xd, H0r, H0i, HMr, HMi, R0, RM) = consts
+        pre = RSplitPrecomp(Hr, Hi, R, Xd,
+                            _to_split_jax(_pad_plane(plane2d, pre_planes)),
+                            H0r, H0i, HMr, HMi, R0, RM,
+                            pre_planes.psf_shape, pre_planes.padded_shape,
+                            pre_planes.start)
+        return run_split_rfused(pre, params, n_iter)
+
+    consts = (pre_planes.Hr, pre_planes.Hi, pre_planes.R,
+              pre_planes.X_divmat, pre_planes.H0r, pre_planes.H0i,
+              pre_planes.HMr, pre_planes.HMi, pre_planes.R0, pre_planes.RM)
+    # inner vmap over planes (constants batched), outer over batch
+    # (constants broadcast — no HBM duplication of the spectra)
+    per_plane = jax.vmap(one_plane, in_axes=(0, 0))
+    out = jax.vmap(lambda pb: per_plane(consts, pb))(planes)  # (B, P, H, W)
+    nh, nw = pre_planes.psf_shape
+    return out.reshape(batch, depth, ch, nh, nw).transpose(0, 1, 3, 4, 2)
+
+
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
               n_iter: int = 100, backend: str = "jax") -> jax.Array:
     """Grayscale single-image ADMM on the split-FFT backend; returns the

@@ -48,10 +48,17 @@ def torch_unetres_to_flax(state_dict, nb: int = 4) -> dict:
             }
         enc[f"down{scale}_conv"] = {"kernel": _conv_w(get(f"{tname}.{nb}.weight"))}
 
+    # with concatenate_compensation the body prepends a conv+ReLU at
+    # m_body.0 and the ResBlocks shift by one (network_unet.py:178-186)
+    off = 0
+    if "m_body.0.weight" in state_dict:
+        params["body_concat_conv"] = {"kernel": _conv_w(get("m_body.0.weight"))}
+        # B.sequential flattens conv+ReLU, so ResBlocks start at index 2
+        off = 2
     for j in range(nb):
         params[f"body_res{j}"] = {
-            "conv1": {"kernel": _conv_w(get(f"m_body.{j}.res.0.weight"))},
-            "conv2": {"kernel": _conv_w(get(f"m_body.{j}.res.2.weight"))},
+            "conv1": {"kernel": _conv_w(get(f"m_body.{j + off}.res.0.weight"))},
+            "conv2": {"kernel": _conv_w(get(f"m_body.{j + off}.res.2.weight"))},
         }
 
     for scale in range(3):
@@ -180,32 +187,25 @@ def torch_multiwiener_to_flax(state_dict, nc=(64, 128, 256, 512, 512)) -> dict:
 
 
 def torch_compensation_to_flax(state_dict, nc) -> dict:
-    """Map a reference CompensationBranch state dict (recon/utils.py:84-175:
-    branch_layers double-conv+max-pool, residual ResBlocks) to flax params
-    for models.compensation.CompensationBranch."""
+    """Map a reference CompensationBranch state dict (recon/utils.py:84-175)
+    to flax variables for models.compensation.CompensationBranch.
+
+    branch_layers.{i} are double_cnn_max_pool Sequentials (conv at
+    flattened index 0/3, BN at 1/4 — utils.py:30-52); residual_layers.{i}
+    are ResBlocks whose conv stack lives under ``.double_conv``
+    (utils.py:55-81).  Returns {'params', 'batch_stats'}."""
     n = len(nc)
     params: dict = {}
-
-    def dconv(prefix):
-        # double_cnn_max_pool (utils.py:33-52): conv at 0, BN at 1, conv 3, BN 4
-        # (the reference uses no BN here — plain conv/relu at 0 and 2)
-        return {
-            "conv1": {"kernel": _conv_w(_get_np(state_dict, f"{prefix}.0.weight")),
-                      "bias": _get_np(state_dict, f"{prefix}.0.bias")},
-            "conv2": {"kernel": _conv_w(_get_np(state_dict, f"{prefix}.2.weight")),
-                      "bias": _get_np(state_dict, f"{prefix}.2.bias")},
-        }
-
+    stats: dict = {}
     for i in range(n):
-        params[f"branch{i}"] = dconv(f"branch_layers.{i}")
+        p, s = _double_conv(state_dict, f"branch_layers.{i}")
+        params[f"branch{i}"] = p
+        stats[f"branch{i}"] = s
     for i in range(n - 1):
-        params[f"residual{i}"] = {
-            "conv1": {"kernel": _conv_w(_get_np(state_dict, f"residual_layers.{i}.layers.0.weight")),
-                      "bias": _get_np(state_dict, f"residual_layers.{i}.layers.0.bias")},
-            "conv2": {"kernel": _conv_w(_get_np(state_dict, f"residual_layers.{i}.layers.2.weight")),
-                      "bias": _get_np(state_dict, f"residual_layers.{i}.layers.2.bias")},
-        }
-    return {"params": params}
+        p, s = _double_conv(state_dict, f"residual_layers.{i}.double_conv")
+        params[f"res{i}"] = {"_DoubleConvPool_0": p}
+        stats[f"res{i}"] = {"_DoubleConvPool_0": s}
+    return {"params": params, "batch_stats": stats}
 
 
 def torch_unrolled_admm_params(state_dict) -> dict:
@@ -223,3 +223,47 @@ def torch_unrolled_admm_params(state_dict) -> dict:
             "tau": get("_tau_p"),
         }
     }
+
+
+def torch_restormer_to_flax(state_dict) -> dict:
+    """Map a reference Restormer state dict (restormer.py:246-431) to
+    flax params for models.restormer.Restormer.  Torch sequential
+    indices become the flax block suffix (``encoder_level1.0`` ->
+    ``encoder_level1_0``); layernorm ``.body.weight`` -> ``scale``;
+    conv weights are (O, I, H, W) -> (H, W, I, O)."""
+    _SEQ = ("encoder_level1", "encoder_level2", "encoder_level3", "latent",
+            "decoder_level1", "decoder_level2", "decoder_level3",
+            "refinement")
+    params: dict = {}
+
+    def put(path, val):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    for key, w in state_dict.items():
+        v = _get_np(state_dict, key)
+        parts = key.split(".")
+        if parts[0] in _SEQ:
+            parts = [f"{parts[0]}_{parts[1]}"] + parts[2:]
+        elif parts[0] == "patch_embed":           # patch_embed.proj.weight
+            put(["patch_embed", "kernel"], _conv_w(v))
+            continue
+        elif parts[0].startswith(("down", "up")):  # downX_Y.body.0.weight
+            put([parts[0], "kernel"], _conv_w(v))
+            continue
+        elif parts[0].startswith("reduce_chan") or parts[0] == "output":
+            put([parts[0], "kernel" if parts[-1] == "weight" else "bias"],
+                _conv_w(v) if parts[-1] == "weight" else v)
+            continue
+        # transformer-block internals
+        if parts[-2] == "body":                    # normN.body.weight/bias
+            put(parts[:-2] + ["scale" if parts[-1] == "weight" else "bias"], v)
+        elif parts[-1] == "temperature":
+            put(parts, v)
+        elif parts[-1] == "weight":
+            put(parts[:-1] + ["kernel"], _conv_w(v))
+        else:                                      # conv bias
+            put(parts, v)
+    return {"params": params}

@@ -95,3 +95,128 @@ def stub_reference_mask_deps():
         waveprop.fresnel.fresnel_conv = None
         waveprop.rs.angular_spectrum = None
         waveprop.noise.add_shot_noise = None
+
+
+def stub_wandb():
+    """Minimal wandb stub so reference recon/utils.py imports headless."""
+    import types
+
+    if "wandb" in sys.modules:
+        return
+    wb = types.ModuleType("wandb")
+    wb.log = lambda *a, **k: None
+    wb.init = lambda *a, **k: None
+    wb.Image = lambda *a, **k: None
+    sys.modules["wandb"] = wb
+
+
+def stub_reference_train_deps():
+    """Stub everything lensless.recon.utils pulls in at import time
+    (wandb, hydra, paramiko/pexpect, torchvision.datasets, waveprop,
+    perlin_numpy/sympy) so the reference Trainer/create_process_network
+    can be imported headless for golden tests."""
+    import types
+
+    stub_wandb()
+    stub_torchvision()
+    stub_reference_mask_deps()
+
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        hutils = types.ModuleType("hydra.utils")
+        hutils.get_original_cwd = lambda: os.getcwd()
+        hydra.utils = hutils
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = hutils
+
+    for name in ("paramiko", "pexpect"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "paramiko":
+                mod.SSHClient = object
+                mod.AutoAddPolicy = object
+                ssh_exc = types.ModuleType("paramiko.ssh_exception")
+                for exc in ("AuthenticationException", "BadHostKeyException",
+                            "SSHException"):
+                    setattr(ssh_exc, exc, type(exc, (Exception,), {}))
+                mod.ssh_exception = ssh_exc
+                mod.__path__ = []  # mark as package
+                sys.modules["paramiko.ssh_exception"] = ssh_exc
+            sys.modules[name] = mod
+
+    import importlib.machinery
+    import torchvision
+
+    for _name, _mod in list(sys.modules.items()):
+        if _mod is not None and getattr(_mod, "__spec__", "x") is None:
+            _mod.__spec__ = importlib.machinery.ModuleSpec(_name, None)
+
+    if not hasattr(torchvision, "datasets"):
+        ds = types.ModuleType("torchvision.datasets")
+        sys.modules["torchvision.datasets"] = ds
+        torchvision.datasets = ds
+    if not hasattr(torchvision.transforms, "ToTensor"):
+        torchvision.transforms.ToTensor = object
+        torchvision.transforms.Compose = object
+
+    # waveprop entries the simulation/slm modules reference at import
+    import waveprop
+
+    for sub, names in (("simulation", ("FarFieldSimulator",)),
+                       ("devices", ("SensorParam", "slm_dict", "SLMParam")),
+                       ("slm", ("get_centers", "get_slm_mask",
+                                "get_active_pixel_dim")),
+                       ("spherical", ("spherical_prop",)),
+                       ("color", ("ColorFilter",))):
+        m = sys.modules.get(f"waveprop.{sub}")
+        if m is None:
+            m = types.ModuleType(f"waveprop.{sub}")
+            sys.modules[f"waveprop.{sub}"] = m
+            setattr(waveprop, sub, m)
+        for n in names:
+            if not hasattr(m, n):
+                setattr(m, n, {} if n == "slm_dict" else type(n, (), {}))
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        tm.__path__ = []
+        tm.StructuralSimilarityIndexMeasure = object
+        tm_img = types.ModuleType("torchmetrics.image")
+        tm_img.lpip = types.ModuleType("torchmetrics.image.lpip")
+        tm_img.lpip.LearnedPerceptualImagePatchSimilarity = object
+        tm_img.psnr = types.ModuleType("torchmetrics.image.psnr")
+        tm_img.psnr.PeakSignalNoiseRatio = object
+        tm.image = tm_img
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.image"] = tm_img
+        sys.modules["torchmetrics.image.lpip"] = tm_img.lpip
+        sys.modules["torchmetrics.image.psnr"] = tm_img.psnr
+
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        dc = types.ModuleType("omegaconf.dictconfig")
+
+        class DictConfig(dict):
+            pass
+
+        dc.DictConfig = DictConfig
+        oc.dictconfig = dc
+        sys.modules["omegaconf"] = oc
+        sys.modules["omegaconf.dictconfig"] = dc
+
+    if "slm_controller" not in sys.modules:
+        slmc = types.ModuleType("slm_controller")
+        slmc.__path__ = []
+        hw = types.ModuleType("slm_controller.hardware")
+
+        class SLMParam:  # attribute names used by lensless.hardware.slm
+            CELL_SIZE = "cell_size"
+            SLM_SHAPE = "slm_shape"
+            DEADSPACE = "deadspace"
+            COLOR_FILTER = "color_filter"
+
+        hw.SLMParam = SLMParam
+        hw.slm_devices = {}
+        slmc.hardware = hw
+        sys.modules["slm_controller"] = slmc
+        sys.modules["slm_controller.hardware"] = hw

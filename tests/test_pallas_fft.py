@@ -236,3 +236,27 @@ def test_admm_split_general_batched_rgb_3d():
     assert out.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-9)
     np.testing.assert_allclose(out / scale, ref / scale, atol=5e-2)
+
+
+def test_admm_rfused_general_batched_rgb():
+    """Batched RGB multi-plane rfused solver (nested-vmap Pallas) ==
+    standard solver (interpret mode)."""
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.recon import admm, admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    pk2._set_interpret(True)
+    try:
+        rng = np.random.RandomState(2)
+        psf = rng.rand(1, 48, 64, 3).astype(np.float32)
+        psf /= np.linalg.norm(psf)
+        data = rng.rand(2, 1, 48, 64, 3).astype(np.float32)
+        conv = admm.make_convolver(psf)
+        ref = np.asarray(admm.run_jit(conv, data, n_iter=10))
+        pre, info = admm_split.precompute_rsplit_general(psf, data)
+        out = np.asarray(admm_split.run_rsplit_general(
+            pre, info, data, ADMMParams(), 10))
+        scale = max(np.abs(ref).max(), 1e-9)
+        np.testing.assert_allclose(out / scale, ref / scale, atol=1e-5)
+    finally:
+        pk2._set_interpret(False)

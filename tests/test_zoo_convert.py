@@ -92,3 +92,36 @@ def test_unrolled_admm_param_conversion():
     fout = np.asarray(model.apply(
         jax.tree_util.tree_map(jnp.asarray, params), conv, jnp.asarray(data)))
     np.testing.assert_allclose(fout, tout, atol=1e-4)
+
+
+def test_restormer_conversion_forward_parity():
+    """Reference Restormer (restormer.py:246-431) torch -> flax forward
+    parity at a small config (BiasFree layernorm, the processor default
+    in recon/utils.py:486-495)."""
+    add_reference_to_path()
+    stub_torchvision()
+    import torch
+    from lensless.recon.restormer import Restormer as TorchRestormer
+    from lenslesspicam_tpu.models.restormer import Restormer
+    from lenslesspicam_tpu.zoo.convert import torch_restormer_to_flax
+
+    kw = dict(dim=8, num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
+              heads=[1, 2, 2, 4], ffn_expansion_factor=2.66)
+    tmodel = TorchRestormer(inp_channels=3, out_channels=3, bias=False,
+                            LayerNorm_type="BiasFree", **kw)
+    tmodel.eval()
+
+    variables = torch_restormer_to_flax(tmodel.state_dict())
+    fmodel = Restormer(out_channels=3, dim=8, num_blocks=(1, 1, 1, 1),
+                       num_refinement_blocks=1, heads=(1, 2, 2, 4),
+                       expansion=2.66, ln_bias=False)
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 32, 40, 3).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    tout = np.transpose(tout, (0, 2, 3, 1))
+
+    fout = np.asarray(fmodel.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x)))
+    np.testing.assert_allclose(fout, tout, atol=1e-4)
