@@ -65,6 +65,20 @@ def rfused_mosaic_ok(ph: int, pw: int) -> bool:
             and n2h % 128 == 0 and n1h % 8 == 0)
 
 
+def complex_mosaic_ok(ph: int, pw: int, cols: int) -> bool:
+    """Whether Mosaic can compile the full-width complex pipeline at
+    these LOCAL pencil shapes (the spatially-sharded path: W kernels see
+    (rows_local, pw) planes, H kernels see (ph, cols) pencils).  Same
+    tile-alignment rules as :func:`rfused_mosaic_ok`; small grids fall
+    back to interpret / the XLA split backend."""
+    from .pallas_fft import _factor
+
+    n1w, n2w = _factor(pw)
+    n1h, n2h = _factor(ph)
+    return (pw % 128 == 0 and n2w % 128 == 0 and n1w % 8 == 0
+            and cols % 128 == 0 and n2h % 128 == 0 and n1h % 8 == 0)
+
+
 @contextlib.contextmanager
 def forced_interpret(flag: bool):
     """Trace-time escape hatch: run kernels in interpret mode when the

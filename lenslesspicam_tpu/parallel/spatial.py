@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import pallas_fft as pf
 from ..ops.fft_conv import FFTConvolver
 from ..ops.tv import finite_diff_gram_spectrum, soft_thresh
 from ..recon.admm import ADMMParams
@@ -139,12 +140,23 @@ def finite_diff_adj_sharded(u):
 
 
 def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
-                         params: ADMMParams = ADMMParams(), n_iter: int = 100):
+                         params: ADMMParams = ADMMParams(), n_iter: int = 100,
+                         backend: str = "auto"):
     """Full ADMM with every state grid row-sharded over mesh axis 'sp'.
 
     Returns the cropped (batch, depth, H, W, C) reconstruction,
     row-sharded on the same axis.
+
+    backend: "xla" — jnp.fft pencil stages (any shape);
+             "pallas" — split-order matmul-FFT Pallas kernels for the
+             pencil stages (:func:`spatial_sharded_admm_pallas`);
+             "auto" — pallas on TPU when the padded grid divides the
+             mesh and Mosaic accepts the tile shapes, else xla.
     """
+    if backend == "auto":
+        backend = "pallas" if _pallas_spatial_ok(mesh, conv) else "xla"
+    if backend == "pallas":
+        return spatial_sharded_admm_pallas(mesh, conv, data, params, n_iter)
     assert AXIS in mesh.axis_names
     # the sharded synthesis chain has no trailing ifftshift roll; the
     # shift must be folded into H (even padded dims — true for the
@@ -238,3 +250,227 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
 
     padded = run(H_s, R_s, Xdiv_s, data_s)
     return conv.crop(padded)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed spatial sharding: the split-order matmul-FFT kernels
+# (ops/pallas_kernels2.py) composed with the pencil decomposition.
+#
+# Per 2-D transform: local W-axis kernel (fft_w) on the row shard, ONE
+# all_to_all re-pencils the split-order W spectrum across chips, local
+# H-axis kernels (fft_h / ifft_h with the filter fused) on complete
+# columns, inverse all_to_all, local ifft_w.  The multi-chip solver
+# therefore inherits the single-HBM-pass-per-transform economy of the
+# single-chip backend instead of XLA's ~13-radix-pass FFT — each
+# iteration is 4 kernel chains + 4 all_to_alls riding the ICI, plus the
+# one-row ppermute halos for the TV term.  Split order needs no
+# re-ordering for the collectives: all_to_all moves contiguous chunks
+# of the split-order axis, and the filter spectra are pre-sharded in
+# the same chunked layout (elementwise multiplies are
+# permutation-invariant).
+#
+# Layout inside shard_map: plane-major (B, P=D*C, rows_local, Pw) so the
+# strictly-2-D Pallas kernels vmap over (B, P) — each vmap level adds a
+# grid dimension to the kernel, exactly like the batched single-chip
+# backend (recon/admm_split.run_rsplit_general).
+#
+# No reference counterpart: the reference downsamples instead of
+# scaling out (SURVEY §5.7); this is the flagship new capability.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_spatial_ok(mesh: Mesh, conv: FFTConvolver) -> bool:
+    """True when the pallas pencil path can run: padded dims divide the
+    'sp' axis, and on real TPU the Mosaic tile-alignment rules hold."""
+    from ..ops import pallas_kernels2 as pk2
+
+    if AXIS not in mesh.axis_names:
+        return False
+    n = mesh.shape[AXIS]
+    depth, ph, pw, ch = conv.padded_shape
+    if ph % n or pw % n or not conv.shift_folded:
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False  # interpret-mode pallas is test-only, not a default
+    return pk2.complex_mosaic_ok(ph, pw, pw // n)
+
+
+def _full_from_half(half: np.ndarray, pw: int) -> np.ndarray:
+    """(Ph, Pw//2+1) natural-order half-spectrum of a REAL kernel ->
+    (Ph, Pw) full spectrum via hermitian symmetry
+    X[h, w] = conj(X[(-h) % Ph, Pw - w])."""
+    ph, pwh = half.shape
+    full = np.zeros((ph, pw), half.dtype)
+    full[:, :pwh] = half
+    wrest = np.arange(pwh, pw)
+    rows = (-np.arange(ph)) % ph
+    full[:, pwh:] = np.conj(half[rows][:, pw - wrest])
+    return full
+
+
+def spatial_sharded_admm_pallas(mesh: Mesh, conv: FFTConvolver, data,
+                                params: ADMMParams = ADMMParams(),
+                                n_iter: int = 100):
+    """Row-sharded ADMM whose distributed FFTs run on the split-order
+    Pallas kernels (see module comment above).  Same algebra as
+    :func:`spatial_sharded_admm` / recon/admm_split.run_split: the
+    4-transform iteration F = R * (A + conj(H) B) with TV halos.
+
+    On non-TPU platforms the kernels execute in interpret mode (slow;
+    used by the 8-device CPU-mesh shard-consistency tests)."""
+    from ..ops import pallas_kernels2 as pk2
+
+    assert AXIS in mesh.axis_names
+    assert conv.shift_folded, (
+        "spatial_sharded_admm_pallas requires an even-padded convolver")
+    n_shards = mesh.shape[AXIS]
+    depth, ph, pw, ch = conv.padded_shape
+    assert ph % n_shards == 0 and pw % n_shards == 0, (
+        f"padded dims {(ph, pw)} must divide the {n_shards}-way 'sp' axis")
+    nplanes = depth * ch
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+
+    # ---- host-side spectra: full-width, split order on both axes ----
+    # (complex64 d2h is unimplemented on the axon tunnel: fetch r/i parts)
+    H_half = (np.asarray(jnp.real(conv.H))
+              + 1j * np.asarray(jnp.imag(conv.H))).astype(np.complex64)
+    psi_full = _psi_gram_full(ph, pw)
+    H_pl = np.empty((nplanes, ph, pw), np.complex64)
+    R_pl = np.empty((nplanes, ph, pw), np.float32)
+    for d in range(depth):
+        for c in range(ch):
+            Hf = _full_from_half(H_half[d, :, :, c], pw)
+            Rf = 1.0 / (mu1 * np.abs(Hf) ** 2 + mu2 * psi_full + mu3)
+            H_pl[d * ch + c] = pf.spectrum_to_split(Hf, axes=(0, 1))
+            R_pl[d * ch + c] = pf.spectrum_to_split(
+                Rf.astype(np.float32), axes=(0, 1))
+
+    # ---- plane-major data + fidelity weights ----
+    dtype = jnp.float32
+    data = jnp.asarray(data, dtype)
+    if data.ndim == 3:
+        data = data[None, None]
+    elif data.ndim == 4:
+        data = data[None]
+    batch = data.shape[0]
+    data_pad = conv.pad_input(data)                  # (B, D, Ph, Pw, C)
+    data_pl = jnp.moveaxis(data_pad, -1, 2).reshape(batch, nplanes, ph, pw)
+    ones = conv.pad_input(jnp.ones((depth,) + conv.psf_shape[-3:-1] + (ch,),
+                                   dtype))
+    Xdiv_pl = jnp.moveaxis(1.0 / (ones + mu1), -1, 1).reshape(nplanes, ph, pw)
+
+    spec_sh = NamedSharding(mesh, P(None, None, AXIS))   # cols of spectrum
+    row3_sh = NamedSharding(mesh, P(None, AXIS))         # rows, (P, Ph, Pw)
+    row4_sh = NamedSharding(mesh, P(None, None, AXIS))   # rows, (B, P, ...)
+    Hr_s = jax.device_put(jnp.asarray(np.ascontiguousarray(H_pl.real)), spec_sh)
+    Hi_s = jax.device_put(jnp.asarray(np.ascontiguousarray(H_pl.imag)), spec_sh)
+    R_s = jax.device_put(jnp.asarray(R_pl), spec_sh)
+    Xdiv_s = jax.device_put(Xdiv_pl, row3_sh)
+    data_s = jax.device_put(data_pl, row4_sh)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    run = _build_pallas_run(mesh, ph, params, n_iter)
+
+    with pk2.forced_interpret(interpret):
+        padded_pl = run(Hr_s, Hi_s, R_s, Xdiv_s, data_s)
+    padded = jnp.moveaxis(
+        padded_pl.reshape(batch, depth, ch, ph, pw), 2, -1)
+    return conv.crop(padded)
+
+
+def _build_pallas_run(mesh: Mesh, ph: int, params: ADMMParams, n_iter: int):
+    """The jitted shard_map'd plane-major pallas ADMM loop; factored out
+    so the multi-chip dryrun can abstractly evaluate it at the 12
+    MP-padded grid shape (jax.eval_shape) without host-side spectra."""
+    from ..ops import pallas_kernels2 as pk2
+
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, None, AXIS),
+                  P(None, None, AXIS), P(None, AXIS), P(None, None, AXIS)),
+        out_specs=P(None, None, AXIS),
+        # pallas_call out_shapes carry no vma annotation; the collective
+        # structure is fixed by the explicit all_to_all/ppermute calls
+        check_vma=False,
+    )
+    def run(Hr_l, Hi_l, R_l, Xdiv_l, data_l):
+        # vmap the 2-D kernels over (B, P); filters broadcast over B
+        vm_w = jax.vmap(jax.vmap(pk2.fft_w))
+        vm_iw = jax.vmap(jax.vmap(pk2.ifft_w))
+        vm_h = jax.vmap(jax.vmap(lambda r, i: pk2.fft_h(r, i, ph)))
+        vm_ih = jax.vmap(jax.vmap(lambda r, i: pk2.ifft_h(r, i, ph)))
+
+        def a2a_fwd(x):   # (B, P, rows, Pw) -> (B, P, Ph, cols)
+            return jax.lax.all_to_all(x, AXIS, split_axis=3, concat_axis=2,
+                                      tiled=True)
+
+        def a2a_inv(x):
+            return jax.lax.all_to_all(x, AXIS, split_axis=2, concat_axis=3,
+                                      tiled=True)
+
+        def fwd2(x):
+            wr, wi = vm_w(x)
+            return vm_h(a2a_fwd(wr), a2a_fwd(wi))
+
+        def inv2(vr, vi):
+            br, bi = vm_ih(vr, vi)
+            return vm_iw(a2a_inv(br), a2a_inv(bi))
+
+        def roll_rows(x, up):
+            if up:   # jnp.roll(x, -1, axis=-2) globally
+                first = _ppermute_shift(x[..., :1, :], forward=False)
+                return jnp.concatenate([x[..., 1:, :], first], axis=-2)
+            last = _ppermute_shift(x[..., -1:, :], forward=True)
+            return jnp.concatenate([last, x[..., :-1, :]], axis=-2)
+
+        zeros = data_l * 0.0
+        state = dict(image=zeros, xi=zeros, rho=zeros,
+                     eta0=zeros, eta1=zeros,
+                     forward_out=zeros, psi0=zeros, psi1=zeros)
+
+        def body(_, s):
+            U0 = soft_thresh(s["psi0"] + s["eta0"] / mu2, tau / mu2)
+            U1 = soft_thresh(s["psi1"] + s["eta1"] / mu2, tau / mu2)
+            X = Xdiv_l * (s["xi"] + mu1 * s["forward_out"] + data_l)
+            W = jnp.maximum(s["rho"] / mu3 + s["image"], 0.0)
+            u0 = mu2 * U0 - s["eta0"]
+            u1 = mu2 * U1 - s["eta1"]
+            rk = ((mu3 * W - s["rho"])
+                  + (roll_rows(u0, up=True) - u0)
+                  + (jnp.roll(u1, -1, axis=-1) - u1))
+            v = mu1 * X - s["xi"]
+
+            ar, ai = fwd2(rk)
+            br, bi = fwd2(v)
+            fr = R_l * (ar + Hr_l * br + Hi_l * bi)
+            fi = R_l * (ai + Hr_l * bi - Hi_l * br)
+            image = inv2(fr, fi)
+            forward_out = inv2(fr * Hr_l - fi * Hi_l,
+                               fr * Hi_l + fi * Hr_l)
+            psi0 = roll_rows(image, up=False) - image
+            psi1 = jnp.roll(image, 1, axis=-1) - image
+            return dict(
+                image=image,
+                xi=s["xi"] + mu1 * (forward_out - X),
+                rho=s["rho"] + mu3 * (image - W),
+                eta0=s["eta0"] + mu2 * (psi0 - U0),
+                eta1=s["eta1"] + mu2 * (psi1 - U1),
+                forward_out=forward_out, psi0=psi0, psi1=psi1,
+            )
+
+        state = jax.lax.fori_loop(0, n_iter, body, state)
+        return jnp.maximum(state["image"], 0.0)
+
+    return run
+
+
+def _psi_gram_full(ph: int, pw: int) -> np.ndarray:
+    """|fft2| of the 4-point laplacian on the FULL (Ph, Pw) grid
+    (full-width analog of ops/tv.finite_diff_gram_spectrum)."""
+    kern = np.zeros((ph, pw), np.float64)
+    kern[0, 0] = 4.0
+    kern[0, 1] = kern[0, -1] = kern[1, 0] = kern[-1, 0] = -1.0
+    return np.abs(np.fft.fft2(kern)).astype(np.float32)

@@ -50,17 +50,6 @@ def test_roundtrip_identity():
     np.testing.assert_allclose(back, x, atol=1e-4)
 
 
-def test_mxu_fft_module():
-    from lenslesspicam_tpu.ops.mxu_fft import fft2_mxu, ifft2_mxu
-
-    rng = np.random.RandomState(3)
-    x = rng.rand(2, 48, 64, 3).astype(np.float32)
-    ref = np.fft.fft2(x, axes=(-3, -2))
-    ours = np.asarray(fft2_mxu(jnp.asarray(x)))
-    assert np.abs(ours - ref).max() / np.abs(ref).max() < 1e-5
-    back = np.asarray(ifft2_mxu(jnp.asarray(ours)))
-    np.testing.assert_allclose(back.real, x, atol=1e-4)
-
 
 def test_admm_split_matches_standard():
     """Split-FFT ADMM == standard ADMM (grayscale single image)."""
@@ -82,25 +71,6 @@ def test_admm_split_matches_standard():
     # no reconstruction-quality impact (<0.05 dB PSNR, see bench.verify_split)
     np.testing.assert_allclose(out / scale, ref / scale, atol=5e-2)
 
-
-def test_pallas_kernels_interpret():
-    """Pallas kernels (interpret mode) == the JAX split pipeline."""
-    from lenslesspicam_tpu.ops import pallas_kernels as pk
-
-    pk._set_interpret(True)
-    try:
-        rng = np.random.RandomState(5)
-        h, w = 96, 128
-        x = rng.rand(h, w).astype(np.float32)
-        kern = rng.rand(h, w).astype(np.float32)
-        Hs = pf.spectrum_to_split(np.fft.fft2(kern).astype(np.complex64), axes=(0, 1))
-        fr = jnp.asarray(np.ascontiguousarray(Hs.real))
-        fi = jnp.asarray(np.ascontiguousarray(Hs.imag))
-        out = np.asarray(pk.filtered_synthesis_pallas(jnp.asarray(x), fr, fi))
-        ref = np.real(np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(kern)))
-        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
-    finally:
-        pk._set_interpret(False)
 
 
 def test_pallas2_pipeline_interpret():
