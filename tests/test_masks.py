@@ -145,3 +145,39 @@ def test_apgd_runs():
                                   prox_penalty=japgd.APGDPriors.L1,
                                   diff_penalty=japgd.APGDPriors.L2))
     assert np.isfinite(out_l1).all()
+
+
+def test_apgd_downsampling_composition():
+    """img_shape downsampling: measurement at half resolution, recon at
+    the PSF grid (reference apgd.py:154-175 SubSample composition)."""
+    rng = np.random.RandomState(3)
+    psf = rng.rand(1, 32, 40, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    meas = rng.rand(16, 20, 3).astype(np.float32)
+    out = np.asarray(japgd.apgd(psf, meas, n_iter=10, img_shape=(16, 20)))
+    assert out.shape == (1, 1, 32, 40, 3)
+    assert np.isfinite(out).all()
+
+    # adjoint consistency of the subsampling pair: <S x, y> == <x, S* y>
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.rand(1, 1, 32, 40, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 1, 16, 20, 3).astype(np.float32))
+    sx = japgd._subsample(x, (2, 2))
+    sty = japgd._subsample_adj(y, (2, 2), (32, 40))
+    np.testing.assert_allclose(float((sx * y).sum()), float((x * sty).sum()),
+                               rtol=1e-5)
+
+
+def test_apgd_rel_error_stop():
+    """RelError stopping: a loose tolerance stops earlier than MaxIter
+    yet matches the no-stop solver on converged problems."""
+    rng = np.random.RandomState(4)
+    psf = rng.rand(1, 24, 32, 1).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    data = rng.rand(24, 32, 1).astype(np.float32)
+    conv = japgd.make_convolver(psf)
+    full = np.asarray(japgd.run(conv, data, n_iter=300))
+    stopped = np.asarray(japgd.run(conv, data, n_iter=300, rel_error=1e-4))
+    assert np.isfinite(stopped).all()
+    scale = max(abs(full).max(), 1e-9)
+    assert abs(stopped - full).max() / scale < 5e-2
