@@ -149,7 +149,11 @@ def stub_reference_train_deps():
 
     for _name, _mod in list(sys.modules.items()):
         if _mod is not None and getattr(_mod, "__spec__", "x") is None:
-            _mod.__spec__ = importlib.machinery.ModuleSpec(_name, None)
+            try:
+                _mod.__spec__ = importlib.machinery.ModuleSpec(_name, None)
+            except (AttributeError, TypeError):
+                # C extension modules (e.g. cffi's _openssl) reject setattr
+                pass
 
     if not hasattr(torchvision, "datasets"):
         ds = types.ModuleType("torchvision.datasets")

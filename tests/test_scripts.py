@@ -111,3 +111,29 @@ def test_simulate_script(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "saved 3 pairs" in res.stdout
+
+
+def test_pretrained_helper_flow(tmp_path):
+    """scripts/recon/_pretrained helpers end-to-end with the classical
+    backend (HF checkpoint download is gated offline)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts", "recon"))
+    try:
+        import _pretrained as P
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(0)
+    psf = rng.rand(1, 32, 40, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    meas = rng.rand(1, 1, 32, 40, 3).astype(np.float32)
+    recon = P.build_recon("admm", None, psf, n_iter=5)
+    res, avg_ms = P.timed_apply(recon, meas, n_trials=2)
+    assert np.isfinite(np.asarray(res)).all() and avg_ms > 0
+    files = P.save_outputs(
+        str(tmp_path), "admm", 0, res, meas, lensed=meas[0, 0],
+        alignment={"top_left": (2, 2), "height": 20, "width": 24}, psf=psf)
+    for fp in files:
+        assert os.path.isfile(fp)
+    crop = P.alignment_crop(np.zeros((32, 40, 3)),
+                            {"top_left": (2, 2), "height": 20, "width": 24})
+    assert crop.shape == (20, 24, 3)
