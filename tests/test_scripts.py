@@ -113,6 +113,62 @@ def test_simulate_script(tmp_path):
     assert "saved 3 pairs" in res.stdout
 
 
+def test_sim_single_file_script(tmp_path):
+    psf_fp, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/sim/single_file.py", f"files.original={data_fp}",
+         f"files.psf={psf_fp}", "simulation.downsample=1",
+         "admm.n_iter=5", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PSNR" in res.stdout
+
+
+def test_sim_mask_single_file_script(tmp_path):
+    _, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/sim/mask_single_file.py", f"files.original={data_fp}",
+         "mask.type=MLS", "simulation.downsample=16",
+         "simulation.flatcam=True", "recon.algo=tikhonov",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PSNR" in res.stdout
+
+
+def test_sim_mask_dataset_script(tmp_path):
+    rng = np.random.RandomState(0)
+    ds_dir = tmp_path / "imgs"
+    ds_dir.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(ds_dir / f"im{i}.png"),
+                    (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    res = _run(
+        ["scripts/sim/mask_dataset.py", f"files.dataset={ds_dir}",
+         "mask.type=MLS", "simulation.downsample=16",
+         "simulation.flatcam=True", "recon.algo=tikhonov",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PSNR (avg)" in res.stdout
+
+
+def test_sim_digicam_psf_script(tmp_path):
+    rng = np.random.RandomState(0)
+    pattern_fp = str(tmp_path / "pattern.npy")
+    np.save(pattern_fp, (rng.rand(3, 128, 160) * 255).astype(np.uint8))
+    res = _run(
+        ["scripts/sim/digicam_psf.py", f"files.pattern={pattern_fp}",
+         "digicam.downsample=16", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Controllable region shape" in res.stdout
+
+
 def test_pretrained_helper_flow(tmp_path):
     """scripts/recon/_pretrained helpers end-to-end with the classical
     backend (HF checkpoint download is gated offline)."""
