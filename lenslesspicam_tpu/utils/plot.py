@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 import matplotlib
 
@@ -63,22 +64,59 @@ def pixel_histogram(img, ax=None, nbits=None, log_scale=True):
     return ax
 
 
-def plot_cross_section(img, row=None, ax=None, log_scale=True):
-    """Horizontal cross-section through the (default middle) row
-    (plot.py:171-259)."""
-    img = np.asarray(img)
+def plot_cross_section(img, row=None, ax=None, log_scale=True,
+                       plot_db_drop=None, min_val=1e-4, max_val=None,
+                       plot_width=None, **kwargs):
+    """Horizontal cross-section with optional -NdB width estimation
+    (plot.py:171-259).
+
+    By default the cross-section goes through the row containing the
+    global maximum (a PSF peak).  With ``plot_db_drop`` the symmetric
+    -NdB width about the peak is estimated, marked with dashed lines,
+    and printed — used by the measure/analyze tools to report PSF and
+    autocorrelation widths.  Returns ``(ax, cross_section)``.
+    """
+    img = np.asarray(img, np.float32)
     if img.ndim == 3:
         img = img.mean(axis=-1)
     if row is None:
-        row = img.shape[0] // 2
+        row = int(np.unravel_index(np.argmax(img), img.shape)[0])
     if ax is None:
         _, ax = plt.subplots()
-    vals = img[row]
+    vals = img[row].astype(np.float32)
+    if max_val is None:
+        max_val = vals.max() or 1.0
+    vals = vals / max_val
+    floor = max(min_val, float(vals.min()))
     if log_scale:
-        vals = 20 * np.log10(np.maximum(vals / (vals.max() or 1), 1e-6))
+        vals = 10 * np.log10(np.maximum(vals, floor))
+        floor = 10 * np.log10(floor)
         ax.set_ylabel("dB")
-    ax.plot(vals)
-    return ax
+    x_vals = np.arange(len(vals)) - int(np.argmax(vals))
+    ax.plot(x_vals, vals, **kwargs)
+    if log_scale:
+        ax.set_ylim([floor, 0])
+    if plot_width is not None:
+        half_width = plot_width // 2 + 1
+        ax.set_xlim([-half_width, half_width])
+    ax.grid()
+    ax.set_title("Cross-section")
+    if log_scale and plot_db_drop:
+        rel = vals - np.max(vals)
+        zero_crossings = np.where(np.diff(np.signbit(rel + plot_db_drop)))[0]
+        if len(zero_crossings) >= 2:
+            zero_crossings -= int(np.argmax(rel))
+            first = np.abs(zero_crossings[np.argmin(np.abs(zero_crossings))])
+            width = 2 * int(np.abs(first))
+            ax.axvline(x=-first, c="k", linestyle="--")
+            ax.axvline(x=+first, c="k", linestyle="--")
+            print(f"-{plot_db_drop}dB width = {width} pixels")
+            ax.set_xlabel(f"-{plot_db_drop}dB width = {width}")
+        else:
+            warnings.warn(
+                f"Width could not be determined; did not detect two "
+                f"-{plot_db_drop}dB points: {zero_crossings}")
+    return ax, vals
 
 
 def plot_autocorr2d(vals, ax=None):

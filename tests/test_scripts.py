@@ -169,6 +169,45 @@ def test_sim_digicam_psf_script(tmp_path):
     assert "Controllable region shape" in res.stdout
 
 
+def test_analyze_image_script(tmp_path):
+    _, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/measure/analyze_image.py", f"fp={data_fp}",
+         "lensless=True", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Autocorrelation saved" in res.stdout
+
+
+def test_analyze_measured_dataset_script(tmp_path):
+    rng = np.random.RandomState(0)
+    ds = tmp_path / "meas"
+    ds.mkdir()
+    for i in range(4):
+        val = 60 if i == 3 else 200  # file 3 underexposed
+        cv2.imwrite(str(ds / f"im{i}.png"),
+                    (rng.rand(24, 24, 3) * val).astype(np.uint8))
+    res = _run(
+        ["scripts/measure/analyze_measured_dataset.py",
+         f"dataset_path={ds}", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "bad files" in res.stdout
+
+
+def test_digicam_example_script(tmp_path):
+    _, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/measure/digicam_example.py", f"capture.fp={data_fp}",
+         "capture.down=16", "recon.n_iter=3", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Done" in res.stdout
+
+
 def test_pretrained_helper_flow(tmp_path):
     """scripts/recon/_pretrained helpers end-to-end with the classical
     backend (HF checkpoint download is gated offline)."""
