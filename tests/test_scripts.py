@@ -208,6 +208,40 @@ def test_digicam_example_script(tmp_path):
     assert "Done" in res.stdout
 
 
+def test_sim_dataset_script(tmp_path):
+    psf_fp, _ = _make_inputs(tmp_path)
+    rng = np.random.RandomState(1)
+    ds_dir = tmp_path / "imgs"
+    ds_dir.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(ds_dir / f"im{i}.png"),
+                    (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    res = _run(
+        ["scripts/sim/dataset.py", f"files.dataset={ds_dir}",
+         f"files.psf={psf_fp}", "simulation.downsample=1",
+         "admm.n_iter=3", f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PSNR (avg)" in res.stdout
+
+
+def test_sim_jax_dataset_script(tmp_path):
+    rng = np.random.RandomState(1)
+    ds_dir = tmp_path / "imgs"
+    ds_dir.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(ds_dir / f"im{i}.png"),
+                    (rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    res = _run(
+        ["scripts/sim/jax_dataset.py", f"files.dataset={ds_dir}",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Time per batch" in res.stdout
+
+
 def test_pretrained_helper_flow(tmp_path):
     """scripts/recon/_pretrained helpers end-to-end with the classical
     backend (HF checkpoint download is gated offline)."""
