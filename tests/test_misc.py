@@ -58,9 +58,62 @@ def test_remote_gated():
 def test_fabrication_gated():
     from lenslesspicam_tpu.hardware.fabrication import Mask3DModel
 
-    model = Mask3DModel(np.ones((8, 8)), (1e-2, 1e-2))
+    model = Mask3DModel(np.ones((8, 8)), (1e-2, 1e-2), height=0.3,
+                        generate=False)
     with pytest.raises(ImportError):
         model.generate_3d_model()
+
+
+def test_fabrication_geometry():
+    """Connection/frame/mold geometry is computed in pure numpy
+    (reference fabrication.py:110-135, 417-525) — checked offline
+    without cadquery."""
+    from lenslesspicam_tpu.hardware import fabrication as F
+
+    # mask_to_points: binary masks extrude value-0 cells
+    mask = np.ones((4, 4))
+    mask[1, 2] = 0
+    pts, heights = F.Mask3DModel.mask_to_points(mask, (0.5, 0.5))
+    assert heights is None
+    assert pts.shape == (1, 2)
+    np.testing.assert_allclose(pts[0], [(1 - 2) * 0.5, (2 - 2) * 0.5])
+
+    # graded (3-D) masks extrude nonzero cells at fractional height
+    mask3 = np.zeros((4, 4))
+    mask3[0, 0], mask3[2, 3] = 0.5, 1.0
+    pts3, h3 = F.Mask3DModel.mask_to_points(mask3, (1.0, 1.0))
+    assert pts3.shape == (2, 2) and sorted(h3) == [0.5, 1.0]
+
+    # frame outline: padding vs explicit size
+    assert F.SimpleFrame(padding=2.0).outline((10, 8)) == (14, 12, 10, 8)
+    assert F.SimpleFrame(size=(20, 20)).outline((10, 8))[:2] == (20, 20)
+
+    # cross bars span the full mask at the line width
+    bars = F.CrossConnection(line_width=0.2).bars((10, 8))
+    assert bars == [(0.2, 8.0), (10.0, 0.2)]
+
+    # saltire: two corner-to-corner hexagons with width/sqrt(2) inset
+    polys = F.SaltireConnection(line_width=0.2).polygons((10, 8))
+    assert len(polys) == 2 and all(len(p) == 6 for p in polys)
+    lw = 0.2 / np.sqrt(2)
+    np.testing.assert_allclose(polys[0][0], (-(5 - lw), -4))
+    np.testing.assert_allclose(polys[0][4], (5, 4))
+
+    # three-point: half-width bar + two corner strips meeting the center
+    bar, tp_polys = F.ThreePointConnection(line_width=0.2).geometry((10, 8))
+    assert bar == (5.0, 0.2) and len(tp_polys) == 2
+    np.testing.assert_allclose(tp_polys[0][-1], (lw, 0.0))
+
+    # coded-aperture joints sit at cell-boundary crossings
+    ca = np.kron(np.array([[1, 0], [0, 1]]), np.ones((4, 4)))
+    joints = F.CodedApertureConnection().joint_points(ca, (8.0, 8.0))
+    assert joints.shape == (1, 2)
+    np.testing.assert_allclose(joints[0], [0.0, 0.0])
+
+    # adapter friction-fit feasibility
+    assert F.adapter_dimensions_ok(10, 8, 12.9, 9.9, 0.4)
+    with pytest.raises(AssertionError):
+        F.adapter_dimensions_ok(13, 8, 12.9, 9.9, 0.4)
 
 
 def test_plot_smoke(tmp_path):
