@@ -1,7 +1,11 @@
 """Dataset layer: pipelines, batching, ROI extraction, simulate_dataset."""
 
+import os
+
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from lenslesspicam_tpu.data.datasets import (
     DualDataset,
@@ -341,3 +345,39 @@ def test_multimask_end_to_end_training():
     trainer = Trainer(model, ds.psf[0], lambda: iter(batches), batches[:1], cfg)
     loss = trainer.train_epoch()
     assert np.isfinite(loss)
+
+
+def test_psf_err_sweep_offline():
+    """scripts/recon/digicam_mirflickr_psf_err.run_sweep on a local
+    multimask dataset with a 2-iteration ADMM recon."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts", "recon"))
+    try:
+        from digicam_mirflickr_psf_err import run_sweep
+    finally:
+        sys.path.pop(0)
+
+    from lenslesspicam_tpu.recon import admm
+
+    hub = _make_hub(multimask=True)
+    ds = LocalHFDataset("local", split=hub, return_mask_label=True)
+
+    def build_recon_fn(psf):
+        psf4 = psf if psf.ndim == 4 else psf[None]
+        conv = admm.make_convolver(np.asarray(psf4, np.float32))
+
+        def recon(lensless):
+            return admm.run_jit(conv, np.asarray(lensless, np.float32),
+                                n_iter=2)
+
+        return recon
+
+    metrics = run_sweep(ds, build_recon_fn, [0, 50], n_files=2,
+                        seed=0, verbose=False)
+    psf_err = np.asarray(metrics["psf_err"])
+    assert psf_err.shape == (2, 2)
+    # no perturbation -> exact PSF; 50% flipped -> real error
+    np.testing.assert_allclose(psf_err[0], 0.0, atol=1e-10)
+    assert np.all(psf_err[1] > 1e-6)
+    assert np.all(np.isfinite(np.asarray(metrics["PSNR"])))
