@@ -111,7 +111,7 @@ def verify_split(jax):
         conv = admm.make_convolver(psf2d[None, :, :, None])
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
-    backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
+    backend = os.environ.get("BENCH_FFT_BACKEND", "fused")
 
     def run_backend(bk, psf, dat, n):
         if bk == "rfused":
@@ -205,8 +205,8 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     psf2d /= np.linalg.norm(psf2d)
     data2d = rng.rand(*shape).astype(np.float32)
 
-    backends = [os.environ.get("BENCH_FFT_BACKEND", "rfused")]
-    for fb in ("fused", "pallas", "jax"):
+    backends = [os.environ.get("BENCH_FFT_BACKEND", "fused")]
+    for fb in ("rfused", "pallas", "jax"):
         if fb not in backends:
             backends.append(fb)
     for backend in backends:
@@ -215,15 +215,15 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
                 pre = admm_split.precompute_rsplit(psf2d, data2d)
 
                 @jax.jit
-                def run_sum_r(Hr, Hi, R, Xd, dp, H0r, H0i, HMr, HMi,
+                def run_sum_r(Hr, Hi, R, mask, dp, H0r, H0i, HMr, HMi,
                               R0, RM, n):
                     p = admm_split.RSplitPrecomp(
-                        Hr, Hi, R, Xd, dp, H0r, H0i, HMr, HMi, R0, RM,
+                        Hr, Hi, R, mask, dp, H0r, H0i, HMr, HMi, R0, RM,
                         pre.psf_shape, pre.padded_shape, pre.start)
                     out = admm_split.run_split_rfused(p, admm_split.ADMMParams(), n)
                     return jnp.sum(out[::499, ::499])
 
-                args = (pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
+                args = (pre.Hr, pre.Hi, pre.R, pre.mask, pre.data_pad,
                         pre.H0r, pre.H0i, pre.HMr, pre.HMi, pre.R0, pre.RM)
                 val = _timed(lambda k: float(run_sum_r(*args, k)),
                              base_iter, n_iter, repeats)

@@ -645,8 +645,10 @@ def _e2_kernel(n1, n2, scale, mu1, mu3,
 
 def _e_block_rows(m, w):
     """Row-block for the fused state kernels: ~30 block-sized buffers
-    live in VMEM (in/out double buffering + TV intermediates)."""
-    return _pick_block(m, 8)
+    live in VMEM (in/out double buffering + TV intermediates).
+    LPT_E_BLOCK overrides the target for tuning."""
+    env = _os.environ.get("LPT_E_BLOCK")
+    return _pick_block(m, int(env) if env else 8)
 
 
 def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
@@ -940,10 +942,10 @@ def _split_roll_m1(x, mh):
         [od, jnp.concatenate([ev[:, 1:], ev[:, :1]], axis=1)], axis=1)
 
 
-def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau,
+def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
                 imgp_ref, imgc_ref, imgn_ref, eta0c_ref, eta0n_ref, eta1_ref,
                 u0c_ref, u0n_ref, u1_ref, rho_ref, xi_ref, fwd_ref,
-                xd_ref, dp_ref, *refs):
+                mask_ref, dp_ref, *refs):
     mats = tuple(r[:] for r in refs[:12])
     (rkr_ref, rki_ref, vr_ref, vi_ref,
      eta0o_ref, eta1o_ref, u0o_ref, u1o_ref, xo_ref) = refs[12:]
@@ -954,7 +956,7 @@ def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]
     eta0_ext = jnp.concatenate([eta0c_ref[:], eta0n_ref[:][:1]], axis=0)
-    u0_ext = jnp.concatenate([u0c_ref[:], u0n_ref[:][:1]], axis=0)
+    u0_ext = jnp.concatenate([u0c_ref[:], u0n_ref[:].astype(f32)[:1]], axis=0)
     eta0_eff = eta0_ext + mu2 * (psi0_ext - u0_ext)
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
@@ -976,7 +978,11 @@ def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau,
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     rk = (mu3 * W - rho) + adj0 + adj1
     xi = xi_ref[:]
-    X = xd_ref[:] * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:])
+    # X_divmat = 1/(pad(1) + mu1) takes exactly two values; rebuild it
+    # in f32 from the {0,1} support mask (exact even stored bf16) —
+    # halves the static-plane read vs a full f32 X_divmat plane
+    xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
+    X = xdv * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:].astype(f32))
     xo_ref[:] = X
     v = mu1 * X - xi
 
@@ -990,14 +996,21 @@ def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau,
 
 def _e2r_kernel(n1, n2, scale, mu1, mu3,
                 a0r_ref, a0i_ref, a1r_ref, a1i_ref, xi_ref, x_ref, rho_ref,
-                imgo_ref, *refs):
+                imgo_ref, p0r_ref, p0i_ref, p1r_ref, p1i_ref, *refs):
     mats = tuple(r[:] for r in refs[:12])
     img_ref, fwd_ref, xio_ref, rhoo_ref = refs[12:]
     f32 = jnp.float32
-    image = _w_rinv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
-                         n1, n2, scale, mats)
-    fwd = _w_rinv_core(a1r_ref[:].astype(f32), a1i_ref[:].astype(f32),
-                       n1, n2, scale, mats)
+    # patch the exact DC/Nyquist packed lane (column 0, column vectors
+    # computed in XLA) in-kernel — the old host-graph .at[:, 0].set
+    # copied all four full planes every iteration
+    br, mh = a0r_ref.shape
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (br, mh), 1) == 0
+    a0r = jnp.where(lane0, p0r_ref[:][:, :1], a0r_ref[:].astype(f32))
+    a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
+    a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
+    a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
+    image = _w_rinv_core(a0r, a0i, n1, n2, scale, mats)
+    fwd = _w_rinv_core(a1r, a1i, n1, n2, scale, mats)
     img_ref[:] = image.astype(img_ref.dtype)
     fwd_ref[:] = fwd.astype(fwd_ref.dtype)
     xi = xi_ref[:]
@@ -1007,11 +1020,12 @@ def _e2r_kernel(n1, n2, scale, mu1, mu3,
     rhoo_ref[:] = rho + mu3 * (image - W)
 
 
-def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
+def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, mask, dp,
               mu1, mu2, mu3, tau, block_rows=None):
     """Half-spectrum fused ADMM pre-transform step.  Spatial planes in
     split lane layout (m, N); returns rk/v HALF-spectra (m, N/2) plus
-    (eta0', eta1', u0', u1', X)."""
+    (eta0', eta1', u0', u1', X).  The X update rebuilds X_divmat in f32
+    from the {0,1} support mask (exact even stored bf16)."""
     m, n_full = xi.shape
     mh = n_full // 2
     br = block_rows or _e_block_rows(m, n_full)
@@ -1027,8 +1041,10 @@ def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
     io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
     f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
+    c_in = 1.0 / (1.0 + mu1)
+    c_out = 1.0 / mu1
     return pl.pallas_call(
-        partial(_e1r_kernel, n1, n2, mh, mu1, mu2, mu3, tau),
+        partial(_e1r_kernel, n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out),
         grid=(nb,),
         in_specs=[spec_p, spec_c, spec_n,          # image halo refs
                   spec_c, spec_n,                  # eta0
@@ -1036,7 +1052,7 @@ def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
                   spec_c, spec_n,                  # u0
                   spec_c,                          # u1
                   spec_c, spec_c, spec_c,          # rho, xi, fwd
-                  spec_c, spec_c]                  # Xd, dp
+                  spec_c, spec_c]                  # mask, dp
                  + _const_specs(mats),
         out_specs=(spec_h,) * 4 + (spec_c,) * 5,
         out_shape=(io_h, io_h, io_h, io_h,          # rk/v half spectra
@@ -1044,14 +1060,16 @@ def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
                    io_sh, io_sh,                    # u'
                    f32_sh),                         # X
         interpret=_INTERPRET,
-    )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi, fwd,
-      xd, dp, *mats)
+    )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi,
+      fwd, mask, dp, *mats)
 
 
-def e2_rfused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
-              block_rows=None):
-    """Half-spectrum fused ADMM post-transform step.  Returns
-    (image', fwd', xi', rho') with spatial planes in split lane layout."""
+def e2_rfused(a0r, a0i, a1r, a1i, xi, X, rho, image_old,
+              p0r, p0i, p1r, p1i, mu1, mu3, block_rows=None):
+    """Half-spectrum fused ADMM post-transform step.  The exact
+    DC/Nyquist packed lane (column 0) is patched in-kernel from the
+    (m, 128) column operands p*.  Returns (image', fwd', xi', rho') with
+    spatial planes in split lane layout."""
     m, n_full = xi.shape
     mh = n_full // 2
     br = block_rows or _e_block_rows(m, n_full)
@@ -1059,17 +1077,20 @@ def e2_rfused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
     mats, scale, n1, n2 = _rplan_mats(n_full, True)
     spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_col = pl.BlockSpec((br, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     f32 = jnp.float32
     io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
     f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
     return pl.pallas_call(
         partial(_e2r_kernel, n1, n2, scale, mu1, mu3),
         grid=(nb,),
-        in_specs=[spec_h] * 4 + [spec_c] * 4 + _const_specs(mats),
+        in_specs=[spec_h] * 4 + [spec_c] * 4 + [spec_col] * 4
+                 + _const_specs(mats),
         out_specs=(spec_c,) * 4,
         out_shape=(io_sh, io_sh, f32_sh, f32_sh),
         interpret=_INTERPRET,
-    )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, *mats)
+    )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, p0r, p0i, p1r, p1i, *mats)
 
 
 def ifft_h_dual(vr, vi, hr, hi, h):

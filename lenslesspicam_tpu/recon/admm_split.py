@@ -198,7 +198,7 @@ class RSplitPrecomp(NamedTuple):
     Hr: jax.Array        # (Ph, Pw/2) half-spectrum planes, split order
     Hi: jax.Array
     R: jax.Array
-    X_divmat: jax.Array  # (Ph, Pw) spatial, split lane layout
+    mask: jax.Array      # (Ph, Pw) {0,1} support mask, split lane layout
     data_pad: jax.Array
     # (Ph,) filter columns at kw = 0 / M, r/i separated (complex64
     # host->device transfer is unimplemented on the axon tunnel)
@@ -246,7 +246,6 @@ def precompute_rsplit(psf2d: np.ndarray, data2d: np.ndarray,
 
     ones_pad = np.zeros((ph, pw), np.float32)
     ones_pad[sy : sy + nh, sx : sx + nw] = 1.0
-    X_divmat = (1.0 / (ones_pad + params.mu1)).astype(np.float32)
     data_pad = np.zeros((ph, pw), np.float32)
     data_pad[sy : sy + nh, sx : sx + nw] = data2d
 
@@ -254,7 +253,7 @@ def precompute_rsplit(psf2d: np.ndarray, data2d: np.ndarray,
         Hr=jnp.asarray(np.ascontiguousarray(H_half.real)),
         Hi=jnp.asarray(np.ascontiguousarray(H_half.imag)),
         R=jnp.asarray(np.ascontiguousarray(R_half)),
-        X_divmat=jnp.asarray(to_split(X_divmat)),
+        mask=jnp.asarray(to_split(ones_pad)),
         data_pad=jnp.asarray(to_split(data_pad)),
         H0r=jnp.asarray(np.ascontiguousarray(H_nat[:, 0].real)),
         H0i=jnp.asarray(np.ascontiguousarray(H_nat[:, 0].imag)),
@@ -281,18 +280,24 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     f32 = jnp.float32
     Hr_c, Hi_c, R_c = (jnp.asarray(pre.Hr, io), jnp.asarray(pre.Hi, io),
                        jnp.asarray(pre.R, io))
+    # static planes ride at the inter-kernel storage dtype: the support
+    # mask is {0,1} (exact in bf16); the padded data plane loses ~8
+    # mantissa bits under bf16 io — covered by the bench PSNR gate
+    mask_c = jnp.asarray(pre.mask, io)
+    dp_c = jnp.asarray(pre.data_pad, io)
     zeros = jnp.zeros((ph, pw), f32)
     zeros_io = jnp.zeros((ph, pw), io)
     state = dict(image=zeros_io, fwd=zeros_io, xi=zeros, rho=zeros,
                  eta0=zeros, eta1=zeros, u0=zeros_io, u1=zeros_io)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
     HM = jax.lax.complex(pre.HMr, pre.HMi)
+    zcol = jnp.zeros((ph, 128), f32)
     needs_interp = not pk2.rfused_mosaic_ok(ph, pw)
 
     def body(_, s):
         (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_rfused(
             s["image"], s["fwd"], s["xi"], s["rho"], s["eta0"], s["eta1"],
-            s["u0"], s["u1"], pre.X_divmat, pre.data_pad, mu1, mu2, mu3, tau)
+            s["u0"], s["u1"], mask_c, dp_c, mu1, mu2, mu3, tau)
         # exact DC (kw=0) and Nyquist (kw=M) columns on the side: the
         # packed lane is not separable under the filter multiply, so the
         # two real spatial columns are convolved directly in XLA
@@ -310,12 +315,11 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         ar, ai = pk2.fft_h(rkr, rki, ph)
         fr, fi = pk2.fft_h_combine(vr_, vi_, ar, ai, Hr_c, Hi_c, R_c, ph)
         (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
-        a0r = a0r.at[:, 0].set(i0.astype(io))
-        a0i = a0i.at[:, 0].set(iM.astype(io))
-        a1r = a1r.at[:, 0].set(f0.astype(io))
-        a1i = a1i.at[:, 0].set(fM.astype(io))
-        imgn, fwdn, xin, rhon = pk2.e2_rfused(a0r, a0i, a1r, a1i, s["xi"], X,
-                                              s["rho"], s["image"], mu1, mu3)
+        imgn, fwdn, xin, rhon = pk2.e2_rfused(
+            a0r, a0i, a1r, a1i, s["xi"], X, s["rho"], s["image"],
+            zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
+            zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
+            mu1, mu3)
         return dict(image=imgn, fwd=fwdn, xi=xin, rho=rhon,
                     eta0=eta0n, eta1=eta1n, u0=u0n, u1=u1n)
 
@@ -329,9 +333,9 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
 
 @partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start",
                                    "params"))
-def _run_rsplit_jit(Hr, Hi, R, X_divmat, data_pad, H0r, H0i, HMr, HMi,
+def _run_rsplit_jit(Hr, Hi, R, mask, data_pad, H0r, H0i, HMr, HMi,
                     R0, RM, psf_shape, padded_shape, start, params, n_iter):
-    pre = RSplitPrecomp(Hr, Hi, R, X_divmat, data_pad, H0r, H0i, HMr, HMi,
+    pre = RSplitPrecomp(Hr, Hi, R, mask, data_pad, H0r, H0i, HMr, HMi,
                         R0, RM, psf_shape, padded_shape, start)
     return run_split_rfused(pre, params, n_iter)
 
@@ -339,7 +343,7 @@ def _run_rsplit_jit(Hr, Hi, R, X_divmat, data_pad, H0r, H0i, HMr, HMi,
 def run_rsplit_jit(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                    n_iter=100):
     """jit entry for the half-spectrum fused backend."""
-    return _run_rsplit_jit(pre.Hr, pre.Hi, pre.R, pre.X_divmat, pre.data_pad,
+    return _run_rsplit_jit(pre.Hr, pre.Hi, pre.R, pre.mask, pre.data_pad,
                            pre.H0r, pre.H0i, pre.HMr, pre.HMi, pre.R0, pre.RM,
                            pre.psf_shape, pre.padded_shape, pre.start, params,
                            jnp.asarray(n_iter))
@@ -372,7 +376,7 @@ def precompute_rsplit_general(psf, data, params: ADMMParams = ADMMParams()):
                                           data[0, d_idx, :, :, c], params))
     stacked = RSplitPrecomp(
         *[jnp.stack([getattr(p, f) for p in pres])
-          for f in ("Hr", "Hi", "R", "X_divmat", "data_pad",
+          for f in ("Hr", "Hi", "R", "mask", "data_pad",
                     "H0r", "H0i", "HMr", "HMi", "R0", "RM")],
         psf_shape=pres[0].psf_shape,
         padded_shape=pres[0].padded_shape,
@@ -405,8 +409,8 @@ def run_rsplit_general(pre_planes: RSplitPrecomp, info: dict, data,
                                                    *data.shape[2:4])
 
     def one_plane(consts, plane2d):
-        (Hr, Hi, R, Xd, H0r, H0i, HMr, HMi, R0, RM) = consts
-        pre = RSplitPrecomp(Hr, Hi, R, Xd,
+        (Hr, Hi, R, mask, H0r, H0i, HMr, HMi, R0, RM) = consts
+        pre = RSplitPrecomp(Hr, Hi, R, mask,
                             _to_split_jax(_pad_plane(plane2d, pre_planes)),
                             H0r, H0i, HMr, HMi, R0, RM,
                             pre_planes.psf_shape, pre_planes.padded_shape,
@@ -414,7 +418,7 @@ def run_rsplit_general(pre_planes: RSplitPrecomp, info: dict, data,
         return run_split_rfused(pre, params, n_iter)
 
     consts = (pre_planes.Hr, pre_planes.Hi, pre_planes.R,
-              pre_planes.X_divmat, pre_planes.H0r, pre_planes.H0i,
+              pre_planes.mask, pre_planes.H0r, pre_planes.H0i,
               pre_planes.HMr, pre_planes.HMi, pre_planes.R0, pre_planes.RM)
     # inner vmap over planes (constants batched), outer over batch
     # (constants broadcast — no HBM duplication of the spectra)
