@@ -81,6 +81,7 @@ class TrainerConfig:
     # (utils.py:1235-1253): MSE + lpips*LPIPS + aux terms, lower-better.
     metric_for_best: Optional[str] = "PSNR"
     save_dir: Optional[str] = None
+    save_examples: bool = False  # per-epoch example reconstruction PNGs
     eval_batch_size: int = 4
     # known number of train batches per epoch (avoids materializing the
     # loader to count it; falls back to len(train_loader()) if sized)
@@ -192,6 +193,10 @@ class Trainer:
         # multimask, i.e. its batches don't carry per-sample 'psfs')
         self.extra_eval_sets = extra_eval_sets or {}
         self.metrics_log: dict = {}
+        # per-step scalar log (local wandb equivalent): appended as JSON
+        # lines to <save_dir>/train_log.jsonl by train() each epoch
+        self._step_log: list = []
+        self._global_step = 0
         self.best_metric = None
         self.best_params = None
         self._rng = jax.random.PRNGKey(seed)
@@ -394,7 +399,55 @@ class Trainer:
                 self.mask.params = mask_params
                 self.mask_opt_state = mask_opt
             losses.append(float(loss))
+            self._global_step += 1
+            self._step_log.append({"step": self._global_step,
+                                   "loss": float(loss)})
         return float(np.mean(losses)) if losses else float("nan")
+
+    def _flush_step_log(self, epoch: int):
+        """Append this epoch's per-step scalars to train_log.jsonl —
+        the local equivalent of the reference's wandb.log stream
+        (utils.py:1348-1354)."""
+        if not self.config.save_dir or not self._step_log:
+            self._step_log = []
+            return
+        os.makedirs(self.config.save_dir, exist_ok=True)
+        path = os.path.join(self.config.save_dir, "train_log.jsonl")
+        with open(path, "a") as f:
+            for rec in self._step_log:
+                f.write(json.dumps(dict(rec, epoch=epoch)) + "\n")
+        self._step_log = []
+
+    def save_examples(self, epoch: int, n_examples: int = 4):
+        """Save example (lensless, reconstruction, truth) PNG triplets
+        from the first eval batch — the reference logs these images to
+        wandb each epoch (utils.py:1248-1258)."""
+        if not self.config.save_dir:
+            return
+        from ..data.io import save_image
+
+        batch = next(iter(self.test_batches())) if callable(self.test_batches) \
+            else self.test_batches[0]
+        data = jnp.asarray(batch["lensless"])[:n_examples]
+        psf = self._batch_psf(batch)
+        if psf.ndim > 4 and psf.shape[0] == batch["lensless"].shape[0]:
+            psf = psf[:n_examples]
+        model = self._active_model(self._skip_pre, self._skip_post)
+        kwargs = {}
+        if batch.get("background") is not None:
+            kwargs["background"] = jnp.asarray(batch["background"])[:n_examples]
+        out = model.apply(self.variables, data, psf, **kwargs)
+        recon = np.asarray(out[0] if isinstance(out, tuple) else out)
+        out_dir = os.path.join(self.config.save_dir, f"epoch{epoch}")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(min(n_examples, recon.shape[0])):
+            img = np.squeeze(recon[i])
+            save_image(img / max(img.max(), 1e-12),
+                       os.path.join(out_dir, f"recon_{i}.png"))
+            truth = np.squeeze(np.asarray(batch["lensed"][i]))
+            save_image(truth / max(truth.max(), 1e-12),
+                       os.path.join(out_dir, f"lensed_{i}.png"))
+        return out_dir
 
     def _eval_batches(self, batches, psf_default) -> dict:
         """benchmark() over one eval set with per-batch PSFs and
@@ -467,10 +520,13 @@ class Trainer:
             eval_metrics = self.evaluate()
             self.metrics_log[epoch] = {"loss": train_loss, "eval": eval_metrics}
             self._maybe_update_best(eval_metrics)
+            self._flush_step_log(epoch)
             if verbose:
                 print(f"epoch {epoch}: loss={train_loss:.6f} {eval_metrics}")
             if self.config.save_dir:
                 self.save(epoch)
+                if self.config.save_examples:
+                    self.save_examples(epoch)
         return self.metrics_log
 
     def _eval_loss(self, metrics: dict) -> float:

@@ -198,3 +198,26 @@ def test_trainer_composite_best_metric():
     trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
     trainer.train(verbose=False)
     assert trainer.best_metric is not None and np.isfinite(trainer.best_metric)
+
+
+def test_trainer_step_log_and_examples(tmp_path):
+    """Local observability: per-step JSONL scalar log + per-epoch example
+    reconstruction PNGs (the reference's wandb stream, utils.py:1248-1354)."""
+    import json
+    import os
+
+    psf, batches = _setup()
+    model = TrainableRecon(UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=2, lr=1e-3, save_dir=str(tmp_path / "run"),
+                        save_examples=True)
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
+    trainer.train(verbose=False)
+
+    log_fp = tmp_path / "run" / "train_log.jsonl"
+    assert log_fp.exists()
+    recs = [json.loads(ln) for ln in log_fp.read_text().splitlines()]
+    assert len(recs) == 2 * len(batches)  # epochs * batches
+    assert recs[0]["step"] == 1 and recs[-1]["epoch"] == 2
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    assert os.path.exists(tmp_path / "run" / "epoch2" / "recon_0.png")
+    assert os.path.exists(tmp_path / "run" / "epoch2" / "lensed_0.png")
