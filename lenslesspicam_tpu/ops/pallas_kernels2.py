@@ -573,10 +573,10 @@ def _soft(x, thr):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thr, 0.0)
 
 
-def _e1_kernel(n1, n2, mu1, mu2, mu3, tau,
+def _e1_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
                imgp_ref, imgc_ref, imgn_ref, eta0c_ref, eta0n_ref, eta1_ref,
                u0c_ref, u0n_ref, u1_ref, rho_ref, xi_ref, fwd_ref,
-               xd_ref, dp_ref, f1r, f1i, f2r, f2i, trt, tit,
+               mask_ref, dp_ref, f1r, f1i, f2r, f2i, trt, tit,
                rkr_ref, rki_ref, vr_ref, vi_ref,
                eta0o_ref, eta1o_ref, u0o_ref, u1o_ref, xo_ref):
     f32 = jnp.float32
@@ -611,7 +611,11 @@ def _e1_kernel(n1, n2, mu1, mu2, mu3, tau,
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     rk = (mu3 * W - rho) + adj0 + adj1
     xi = xi_ref[:]
-    X = xd_ref[:] * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:])
+    # X_divmat takes exactly two values; rebuild it in f32 from the
+    # {0,1} support mask (exact even stored bf16) — halves the
+    # static-plane read vs a full f32 X_divmat plane
+    xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
+    X = xdv * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:].astype(f32))
     xo_ref[:] = X
     v = mu1 * X - xi
 
@@ -651,10 +655,12 @@ def _e_block_rows(m, w):
     return _pick_block(m, int(env) if env else 8)
 
 
-def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
+def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, mask, dp,
              mu1, mu2, mu3, tau, block_rows=None):
     """Fused ADMM pre-transform step; see module comment.  Returns
-    (rk_wr, rk_wi, v_wr, v_wi, eta0', eta1', u0', u1', X)."""
+    (rk_wr, rk_wi, v_wr, v_wi, eta0', eta1', u0', u1', X).  ``mask`` is
+    the {0,1} measurement-support plane (any dtype; X_divmat is rebuilt
+    from it in f32 in-kernel) and ``dp`` may ride at the io dtype."""
     m, w = xi.shape
     br = block_rows or _e_block_rows(m, w)
     nb = m // br
@@ -673,8 +679,10 @@ def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
     f32 = jnp.float32
     io_sh = jax.ShapeDtypeStruct((m, w), _IO_DTYPE)
     f32_sh = jax.ShapeDtypeStruct((m, w), f32)
+    c_in = 1.0 / (1.0 + mu1)
+    c_out = 1.0 / mu1
     return pl.pallas_call(
-        partial(_e1_kernel, n1, n2, mu1, mu2, mu3, tau),
+        partial(_e1_kernel, n1, n2, mu1, mu2, mu3, tau, c_in, c_out),
         grid=(nb,),
         in_specs=[spec_p, spec_c, spec_n,          # image halo refs
                   spec_c, spec_n,                  # eta0
@@ -682,7 +690,7 @@ def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
                   spec_c, spec_n,                  # u0
                   spec_c,                          # u1
                   spec_c, spec_c, spec_c,          # rho, xi, fwd
-                  spec_c, spec_c,                  # Xd, dp
+                  spec_c, spec_c,                  # mask, dp
                   m1, m1, m2, m2, mt, mt],
         out_specs=(spec_c,) * 9,
         out_shape=(io_sh, io_sh, io_sh, io_sh,     # rk/v W-spectra
@@ -691,7 +699,7 @@ def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, xd, dp,
                    f32_sh),                        # X
         interpret=_INTERPRET,
     )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi, fwd,
-      xd, dp, *mats)
+      mask, dp, *mats)
 
 
 def e2_fused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,

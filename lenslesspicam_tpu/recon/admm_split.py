@@ -160,6 +160,12 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     io = pk2._IO_DTYPE
     Hr_c, Hi_c, R_c = (jnp.asarray(pre.Hr, io), jnp.asarray(pre.Hi, io),
                        jnp.asarray(pre.R, io))
+    # static planes at the io dtype: X_divmat's two values are rebuilt
+    # in-kernel from the {0,1} support mask (exact even in bf16); the
+    # padded data loses ~8 mantissa bits under bf16 — covered by the
+    # bench quality gate
+    mask_c = jnp.asarray(pre.X_divmat * mu1 < 0.5, io)
+    dp_c = jnp.asarray(pre.data_pad, io)
     zeros = jnp.zeros((ph, pw), jnp.float32)
     zeros_io = jnp.zeros((ph, pw), io)
     state = dict(image=zeros_io, fwd=zeros_io, xi=zeros, rho=zeros,
@@ -168,7 +174,7 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     def body(_, s):
         (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_fused(
             s["image"], s["fwd"], s["xi"], s["rho"], s["eta0"], s["eta1"],
-            s["u0"], s["u1"], pre.X_divmat, pre.data_pad, mu1, mu2, mu3, tau)
+            s["u0"], s["u1"], mask_c, dp_c, mu1, mu2, mu3, tau)
         ar, ai = pk2.fft_h(rkr, rki, ph)
         fr, fi = pk2.fft_h_combine(vr_, vi_, ar, ai, Hr_c, Hi_c, R_c, ph)
         (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
