@@ -573,51 +573,59 @@ def _soft(x, thr):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thr, 0.0)
 
 
-def _e1_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
-               imgp_ref, imgc_ref, imgn_ref, eta0c_ref, eta0n_ref, eta1_ref,
-               u0c_ref, u0n_ref, u1_ref, rho_ref, xi_ref, fwd_ref,
-               mask_ref, dp_ref, f1r, f1i, f2r, f2i, trt, tit,
-               rkr_ref, rki_ref, vr_ref, vi_ref,
-               eta0o_ref, eta1o_ref, u0o_ref, u1o_ref, xo_ref):
+def _e_block_rows(m, w):
+    """Row-block for the fused state kernels: ~30 block-sized buffers
+    live in VMEM (in/out double buffering + TV intermediates).
+    LPT_E_BLOCK overrides the target for tuning."""
+    env = _os.environ.get("LPT_E_BLOCK")
+    return _pick_block(m, int(env) if env else 8)
+
+
+def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
+                imgp_ref, imgc_ref, imgn_ref, a0c_ref, a0n_ref, a1_ref,
+                v_ref, b_ref, fwd_ref, mask_ref, dp_ref,
+                f1r, f1i, f2r, f2i, trt, tit,
+                rkr_ref, rki_ref, vr_ref, vi_ref,
+                vo_ref, a0o_ref, a1o_ref, bo_ref):
+    """Carry-rebuild ADMM pre-transform step.  The accumulating duals
+    are never stored: with the deferred-eta scheme eta_eff = mu2*psi - a
+    where a = mu2*u - eta_eff from the previous iteration, and likewise
+    xi = mu1*fwd - v (v = mu1*X - xi) and rho = mu3*image - b
+    (b = mu3*W - rho).  Carrying only {v, b, a0, a1} replaces the
+    {xi, rho, eta0, eta1, u0, u1} planes and removes the whole e2 state
+    update — one algebraic identity per dual, exactly equivalent."""
     f32 = jnp.float32
     img_c = imgc_ref[:].astype(f32)
-    # extended image rows [i*br - 1, (i+1)*br]: psi0 needs row-above,
-    # the adjoint needs psi0/U0 one row below the block
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]                       # rows [0, br]
-    eta0_ext = jnp.concatenate([eta0c_ref[:], eta0n_ref[:][:1]], axis=0)
-    u0_ext = jnp.concatenate([u0c_ref[:], u0n_ref[:][:1]], axis=0)
-    # deferred eta update (needs psi of the CURRENT image, i.e. the one
-    # produced after last iteration's U update)
-    eta0_eff = eta0_ext + mu2 * (psi0_ext - u0_ext)
+    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]], axis=0)
+    eta0_eff = mu2 * psi0_ext - a0_ext
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
-    adj0 = a0[1:] - a0[:-1]                               # (br, w)
-    eta0o_ref[:] = eta0_eff[:-1]
-    u0o_ref[:] = u0_new[:-1].astype(u0o_ref.dtype)
+    adj0 = a0[1:] - a0[:-1]
+    a0o_ref[:] = a0[:-1]
 
-    # W-axis TV component: fully in-block (periodic roll along lanes)
     psi1 = jnp.concatenate([img_c[:, -1:], img_c[:, :-1]], axis=1) - img_c
-    eta1_eff = eta1_ref[:] + mu2 * (psi1 - u1_ref[:].astype(f32))
+    eta1_eff = mu2 * psi1 - a1_ref[:]
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = jnp.concatenate([a1[:, 1:], a1[:, :1]], axis=1) - a1
-    eta1o_ref[:] = eta1_eff
-    u1o_ref[:] = u1_new.astype(u1o_ref.dtype)
+    a1o_ref[:] = a1
 
-    rho = rho_ref[:]
+    rho = mu3 * img_c - b_ref[:]
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
-    rk = (mu3 * W - rho) + adj0 + adj1
-    xi = xi_ref[:]
-    # X_divmat takes exactly two values; rebuild it in f32 from the
-    # {0,1} support mask (exact even stored bf16) — halves the
-    # static-plane read vs a full f32 X_divmat plane
+    b = mu3 * W - rho
+    bo_ref[:] = b
+    rk = b + adj0 + adj1
+
+    fwdv = fwd_ref[:].astype(f32)
+    xi = mu1 * fwdv - v_ref[:]
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
-    X = xdv * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:].astype(f32))
-    xo_ref[:] = X
+    X = xdv * (xi + mu1 * fwdv + dp_ref[:].astype(f32))
     v = mu1 * X - xi
+    vo_ref[:] = v
 
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
     zr, zi = _w_fwd_core(rk, n1, n2, *mats)
@@ -628,10 +636,9 @@ def _e1_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     vi_ref[:] = zi.astype(vi_ref.dtype)
 
 
-def _e2_kernel(n1, n2, scale, mu1, mu3,
-               a0r_ref, a0i_ref, a1r_ref, a1i_ref, xi_ref, x_ref, rho_ref,
-               imgo_ref, f1r, f1i, f2r, f2i, trt, tit,
-               img_ref, fwd_ref, xio_ref, rhoo_ref):
+def _w_inv_dual_kernel(n1, n2, scale,
+                       a0r_ref, a0i_ref, a1r_ref, a1i_ref,
+                       f1r, f1i, f2r, f2i, trt, tit, img_ref, fwd_ref):
     f32 = jnp.float32
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
     image = _w_inv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
@@ -640,28 +647,13 @@ def _e2_kernel(n1, n2, scale, mu1, mu3,
                       n1, n2, scale, *mats)
     img_ref[:] = image.astype(img_ref.dtype)
     fwd_ref[:] = fwd.astype(fwd_ref.dtype)
-    xi = xi_ref[:]
-    xio_ref[:] = xi + mu1 * (fwd - x_ref[:])
-    rho = rho_ref[:]
-    W = jnp.maximum(rho / mu3 + imgo_ref[:].astype(f32), 0.0)
-    rhoo_ref[:] = rho + mu3 * (image - W)
 
 
-def _e_block_rows(m, w):
-    """Row-block for the fused state kernels: ~30 block-sized buffers
-    live in VMEM (in/out double buffering + TV intermediates).
-    LPT_E_BLOCK overrides the target for tuning."""
-    env = _os.environ.get("LPT_E_BLOCK")
-    return _pick_block(m, int(env) if env else 8)
-
-
-def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, mask, dp,
+def e1_carry(image, fwd, v, b, a0, a1, mask, dp,
              mu1, mu2, mu3, tau, block_rows=None):
-    """Fused ADMM pre-transform step; see module comment.  Returns
-    (rk_wr, rk_wi, v_wr, v_wi, eta0', eta1', u0', u1', X).  ``mask`` is
-    the {0,1} measurement-support plane (any dtype; X_divmat is rebuilt
-    from it in f32 in-kernel) and ``dp`` may ride at the io dtype."""
-    m, w = xi.shape
+    """Carry-rebuild pre-transform step (see _e1c_kernel).  Returns
+    (rk_wr, rk_wi, v_wr, v_wi, v', a0', a1', b')."""
+    m, w = fwd.shape
     br = block_rows or _e_block_rows(m, w)
     nb = m // br
     F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, False)
@@ -682,31 +674,26 @@ def e1_fused(image, fwd, xi, rho, eta0, eta1, u0, u1, mask, dp,
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
-        partial(_e1_kernel, n1, n2, mu1, mu2, mu3, tau, c_in, c_out),
+        partial(_e1c_kernel, n1, n2, mu1, mu2, mu3, tau, c_in, c_out),
         grid=(nb,),
         in_specs=[spec_p, spec_c, spec_n,          # image halo refs
-                  spec_c, spec_n,                  # eta0
-                  spec_c,                          # eta1
-                  spec_c, spec_n,                  # u0
-                  spec_c,                          # u1
-                  spec_c, spec_c, spec_c,          # rho, xi, fwd
+                  spec_c, spec_n,                  # a0
+                  spec_c,                          # a1
+                  spec_c, spec_c, spec_c,          # v, b, fwd
                   spec_c, spec_c,                  # mask, dp
                   m1, m1, m2, m2, mt, mt],
-        out_specs=(spec_c,) * 9,
+        out_specs=(spec_c,) * 8,
         out_shape=(io_sh, io_sh, io_sh, io_sh,     # rk/v W-spectra
-                   f32_sh, f32_sh,                 # eta'
-                   io_sh, io_sh,                   # u'
-                   f32_sh),                        # X
+                   f32_sh,                         # v'
+                   f32_sh, f32_sh, f32_sh),        # a0', a1', b'
         interpret=_INTERPRET,
-    )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi, fwd,
-      mask, dp, *mats)
+    )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
 
 
-def e2_fused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
-             block_rows=None):
-    """Fused ADMM post-transform step; see module comment.  Returns
-    (image', fwd', xi', rho')."""
-    m, w = xi.shape
+def ifft_w_dual(a0r, a0i, a1r, a1i, block_rows=None):
+    """(image, forward) = (ifft_w(A0), ifft_w(A1)) in one kernel —
+    the whole post-transform step of the carry-rebuild pipeline."""
+    m, w = a0r.shape
     br = block_rows or _e_block_rows(m, w)
     nb = m // br
     F1r_np, F1i_np, F2r_np, F2i_np, Tr_np, Ti_np, scale, n1, n2 = _plan(w, True)
@@ -717,17 +704,15 @@ def e2_fused(a0r, a0i, a1r, a1i, xi, X, rho, image_old, mu1, mu3,
     m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     m2 = pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    f32 = jnp.float32
     io_sh = jax.ShapeDtypeStruct((m, w), _IO_DTYPE)
-    f32_sh = jax.ShapeDtypeStruct((m, w), f32)
     return pl.pallas_call(
-        partial(_e2_kernel, n1, n2, scale, mu1, mu3),
+        partial(_w_inv_dual_kernel, n1, n2, scale),
         grid=(nb,),
-        in_specs=[spec_c] * 8 + [m1, m1, m2, m2, mt, mt],
-        out_specs=(spec_c,) * 4,
-        out_shape=(io_sh, io_sh, f32_sh, f32_sh),
+        in_specs=[spec_c] * 4 + [m1, m1, m2, m2, mt, mt],
+        out_specs=(spec_c, spec_c),
+        out_shape=(io_sh, io_sh),
         interpret=_INTERPRET,
-    )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, *mats)
+    )(a0r, a0i, a1r, a1i, *mats)
 
 
 # ---------------------------------------------------------------------------

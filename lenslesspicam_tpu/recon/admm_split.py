@@ -147,11 +147,13 @@ def _fft_fns(backend: str, ph: int):
 
 def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
                     n_iter: int = 100) -> jax.Array:
-    """Fully-fused grayscale ADMM: the per-iteration elementwise state
-    updates ride inside the W-axis Pallas kernels (pallas_kernels2.e1_fused
-    / e2_fused), so state planes cross HBM once per iteration.  The eta
-    update is deferred one iteration (exactly equivalent — carried U
-    planes; see the kernel module comment).  Reference update ordering:
+    """Fully-fused grayscale ADMM with the carry-rebuild state scheme:
+    the per-iteration elementwise updates ride inside the W-axis Pallas
+    kernels (pallas_kernels2.e1_carry), and the accumulating duals are
+    never stored — xi/rho/eta are rebuilt in-kernel from the carried
+    {v, b, a0, a1} planes via one algebraic identity each (exactly
+    equivalent; see _e1c_kernel).  The post-transform step collapses to
+    a pure dual W-inverse.  Reference update ordering:
     lensless/recon/admm.py."""
     from ..ops import pallas_kernels2 as pk2
 
@@ -168,20 +170,18 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     dp_c = jnp.asarray(pre.data_pad, io)
     zeros = jnp.zeros((ph, pw), jnp.float32)
     zeros_io = jnp.zeros((ph, pw), io)
-    state = dict(image=zeros_io, fwd=zeros_io, xi=zeros, rho=zeros,
-                 eta0=zeros, eta1=zeros, u0=zeros_io, u1=zeros_io)
+    state = dict(image=zeros_io, fwd=zeros_io, v=zeros, b=zeros,
+                 a0=zeros, a1=zeros)
 
     def body(_, s):
-        (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_fused(
-            s["image"], s["fwd"], s["xi"], s["rho"], s["eta0"], s["eta1"],
-            s["u0"], s["u1"], mask_c, dp_c, mu1, mu2, mu3, tau)
+        (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_carry(
+            s["image"], s["fwd"], s["v"], s["b"], s["a0"], s["a1"],
+            mask_c, dp_c, mu1, mu2, mu3, tau)
         ar, ai = pk2.fft_h(rkr, rki, ph)
         fr, fi = pk2.fft_h_combine(vr_, vi_, ar, ai, Hr_c, Hi_c, R_c, ph)
         (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
-        imgn, fwdn, xin, rhon = pk2.e2_fused(a0r, a0i, a1r, a1i, s["xi"], X,
-                                             s["rho"], s["image"], mu1, mu3)
-        return dict(image=imgn, fwd=fwdn, xi=xin, rho=rhon,
-                    eta0=eta0n, eta1=eta1n, u0=u0n, u1=u1n)
+        imgn, fwdn = pk2.ifft_w_dual(a0r, a0i, a1r, a1i)
+        return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n)
 
     state = jax.lax.fori_loop(0, n_iter, body, state)
     sy, sx = pre.start
