@@ -935,49 +935,49 @@ def _split_roll_m1(x, mh):
         [od, jnp.concatenate([ev[:, 1:], ev[:, :1]], axis=1)], axis=1)
 
 
-def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
-                imgp_ref, imgc_ref, imgn_ref, eta0c_ref, eta0n_ref, eta1_ref,
-                u0c_ref, u0n_ref, u1_ref, rho_ref, xi_ref, fwd_ref,
-                mask_ref, dp_ref, *refs):
+def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
+                 imgp_ref, imgc_ref, imgn_ref, a0c_ref, a0n_ref, a1_ref,
+                 v_ref, b_ref, fwd_ref, mask_ref, dp_ref, *refs):
+    """Half-spectrum carry-rebuild pre-transform step: same dual-rebuild
+    algebra as _e1c_kernel (xi = mu1*fwd - v, rho = mu3*image - b,
+    eta_eff = mu2*psi - a) with spatial planes in the split lane layout
+    and the packed-real W transform in-kernel."""
     mats = tuple(r[:] for r in refs[:12])
     (rkr_ref, rki_ref, vr_ref, vi_ref,
-     eta0o_ref, eta1o_ref, u0o_ref, u1o_ref, xo_ref) = refs[12:]
+     vo_ref, a0o_ref, a1o_ref, bo_ref) = refs[12:]
     f32 = jnp.float32
     img_c = imgc_ref[:].astype(f32)
-    # H-axis TV: same halo scheme as _e1_kernel (lane layout irrelevant)
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]
-    eta0_ext = jnp.concatenate([eta0c_ref[:], eta0n_ref[:][:1]], axis=0)
-    u0_ext = jnp.concatenate([u0c_ref[:], u0n_ref[:].astype(f32)[:1]], axis=0)
-    eta0_eff = eta0_ext + mu2 * (psi0_ext - u0_ext)
+    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]], axis=0)
+    eta0_eff = mu2 * psi0_ext - a0_ext
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
     adj0 = a0[1:] - a0[:-1]
-    eta0o_ref[:] = eta0_eff[:-1]
-    u0o_ref[:] = u0_new[:-1].astype(u0o_ref.dtype)
+    a0o_ref[:] = a0[:-1]
 
     # W-axis TV in split layout
     psi1 = _split_roll_p1(img_c, mh) - img_c
-    eta1_eff = eta1_ref[:] + mu2 * (psi1 - u1_ref[:].astype(f32))
+    eta1_eff = mu2 * psi1 - a1_ref[:]
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = _split_roll_m1(a1, mh) - a1
-    eta1o_ref[:] = eta1_eff
-    u1o_ref[:] = u1_new.astype(u1o_ref.dtype)
+    a1o_ref[:] = a1
 
-    rho = rho_ref[:]
+    rho = mu3 * img_c - b_ref[:]
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
-    rk = (mu3 * W - rho) + adj0 + adj1
-    xi = xi_ref[:]
-    # X_divmat = 1/(pad(1) + mu1) takes exactly two values; rebuild it
-    # in f32 from the {0,1} support mask (exact even stored bf16) —
-    # halves the static-plane read vs a full f32 X_divmat plane
+    b = mu3 * W - rho
+    bo_ref[:] = b
+    rk = b + adj0 + adj1
+
+    fwdv = fwd_ref[:].astype(f32)
+    xi = mu1 * fwdv - v_ref[:]
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
-    X = xdv * (xi + mu1 * fwd_ref[:].astype(f32) + dp_ref[:].astype(f32))
-    xo_ref[:] = X
+    X = xdv * (xi + mu1 * fwdv + dp_ref[:].astype(f32))
     v = mu1 * X - xi
+    vo_ref[:] = v
 
     zr, zi = _w_rfwd_core(rk, n1, n2, mats)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
@@ -987,39 +987,31 @@ def _e1r_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     vi_ref[:] = zi.astype(vi_ref.dtype)
 
 
-def _e2r_kernel(n1, n2, scale, mu1, mu3,
-                a0r_ref, a0i_ref, a1r_ref, a1i_ref, xi_ref, x_ref, rho_ref,
-                imgo_ref, p0r_ref, p0i_ref, p1r_ref, p1i_ref, *refs):
+def _w_rinv_dual_kernel(n1, n2, scale,
+                        a0r_ref, a0i_ref, a1r_ref, a1i_ref,
+                        p0r_ref, p0i_ref, p1r_ref, p1i_ref, *refs):
     mats = tuple(r[:] for r in refs[:12])
-    img_ref, fwd_ref, xio_ref, rhoo_ref = refs[12:]
+    img_ref, fwd_ref = refs[12:]
     f32 = jnp.float32
     # patch the exact DC/Nyquist packed lane (column 0, column vectors
-    # computed in XLA) in-kernel — the old host-graph .at[:, 0].set
-    # copied all four full planes every iteration
+    # computed in XLA) in-kernel — a host-graph .at[:, 0].set would copy
+    # all four full planes every iteration
     br, mh = a0r_ref.shape
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (br, mh), 1) == 0
     a0r = jnp.where(lane0, p0r_ref[:][:, :1], a0r_ref[:].astype(f32))
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
-    image = _w_rinv_core(a0r, a0i, n1, n2, scale, mats)
-    fwd = _w_rinv_core(a1r, a1i, n1, n2, scale, mats)
-    img_ref[:] = image.astype(img_ref.dtype)
-    fwd_ref[:] = fwd.astype(fwd_ref.dtype)
-    xi = xi_ref[:]
-    xio_ref[:] = xi + mu1 * (fwd - x_ref[:])
-    rho = rho_ref[:]
-    W = jnp.maximum(rho / mu3 + imgo_ref[:].astype(f32), 0.0)
-    rhoo_ref[:] = rho + mu3 * (image - W)
+    img_ref[:] = _w_rinv_core(a0r, a0i, n1, n2, scale, mats).astype(img_ref.dtype)
+    fwd_ref[:] = _w_rinv_core(a1r, a1i, n1, n2, scale, mats).astype(fwd_ref.dtype)
 
 
-def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, mask, dp,
+def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
               mu1, mu2, mu3, tau, block_rows=None):
-    """Half-spectrum fused ADMM pre-transform step.  Spatial planes in
-    split lane layout (m, N); returns rk/v HALF-spectra (m, N/2) plus
-    (eta0', eta1', u0', u1', X).  The X update rebuilds X_divmat in f32
-    from the {0,1} support mask (exact even stored bf16)."""
-    m, n_full = xi.shape
+    """Half-spectrum carry-rebuild pre-transform step (see _e1cr_kernel).
+    Returns (rk_wr, rk_wi, v_wr, v_wi, v', a0', a1', b') with the rk/v
+    spectra at HALF width."""
+    m, n_full = fwd.shape
     mh = n_full // 2
     br = block_rows or _e_block_rows(m, n_full)
     nb = m // br
@@ -1032,39 +1024,32 @@ def e1_rfused(image, fwd, xi, rho, eta0, eta1, u0, u1, mask, dp,
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f32 = jnp.float32
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
-    io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
     f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
-        partial(_e1r_kernel, n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out),
+        partial(_e1cr_kernel, n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out),
         grid=(nb,),
         in_specs=[spec_p, spec_c, spec_n,          # image halo refs
-                  spec_c, spec_n,                  # eta0
-                  spec_c,                          # eta1
-                  spec_c, spec_n,                  # u0
-                  spec_c,                          # u1
-                  spec_c, spec_c, spec_c,          # rho, xi, fwd
+                  spec_c, spec_n,                  # a0
+                  spec_c,                          # a1
+                  spec_c, spec_c, spec_c,          # v, b, fwd
                   spec_c, spec_c]                  # mask, dp
                  + _const_specs(mats),
-        out_specs=(spec_h,) * 4 + (spec_c,) * 5,
+        out_specs=(spec_h,) * 4 + (spec_c,) * 4,
         out_shape=(io_h, io_h, io_h, io_h,          # rk/v half spectra
-                   f32_sh, f32_sh,                  # eta'
-                   io_sh, io_sh,                    # u'
-                   f32_sh),                         # X
+                   f32_sh, f32_sh, f32_sh, f32_sh),  # v', a0', a1', b'
         interpret=_INTERPRET,
-    )(image, image, image, eta0, eta0, eta1, u0, u0, u1, rho, xi,
-      fwd, mask, dp, *mats)
+    )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
 
 
-def e2_rfused(a0r, a0i, a1r, a1i, xi, X, rho, image_old,
-              p0r, p0i, p1r, p1i, mu1, mu3, block_rows=None):
-    """Half-spectrum fused ADMM post-transform step.  The exact
-    DC/Nyquist packed lane (column 0) is patched in-kernel from the
-    (m, 128) column operands p*.  Returns (image', fwd', xi', rho') with
-    spatial planes in split lane layout."""
-    m, n_full = xi.shape
-    mh = n_full // 2
+def irfft_w_dual(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, block_rows=None):
+    """(image, forward) = packed-real dual W-inverse with the exact
+    DC/Nyquist lane patched in-kernel from the (m, 128) column operands
+    p* — the whole post-transform step of the half-spectrum
+    carry-rebuild pipeline."""
+    m, mh = a0r.shape
+    n_full = 2 * mh
     br = block_rows or _e_block_rows(m, n_full)
     nb = m // br
     mats, scale, n1, n2 = _rplan_mats(n_full, True)
@@ -1072,18 +1057,15 @@ def e2_rfused(a0r, a0i, a1r, a1i, xi, X, rho, image_old,
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_col = pl.BlockSpec((br, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    f32 = jnp.float32
     io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
-    f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
     return pl.pallas_call(
-        partial(_e2r_kernel, n1, n2, scale, mu1, mu3),
+        partial(_w_rinv_dual_kernel, n1, n2, scale),
         grid=(nb,),
-        in_specs=[spec_h] * 4 + [spec_c] * 4 + [spec_col] * 4
-                 + _const_specs(mats),
-        out_specs=(spec_c,) * 4,
-        out_shape=(io_sh, io_sh, f32_sh, f32_sh),
+        in_specs=[spec_h] * 4 + [spec_col] * 4 + _const_specs(mats),
+        out_specs=(spec_c, spec_c),
+        out_shape=(io_sh, io_sh),
         interpret=_INTERPRET,
-    )(a0r, a0i, a1r, a1i, xi, X, rho, image_old, p0r, p0i, p1r, p1i, *mats)
+    )(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, *mats)
 
 
 def ifft_h_dual(vr, vi, hr, hi, h):

@@ -293,17 +293,17 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     dp_c = jnp.asarray(pre.data_pad, io)
     zeros = jnp.zeros((ph, pw), f32)
     zeros_io = jnp.zeros((ph, pw), io)
-    state = dict(image=zeros_io, fwd=zeros_io, xi=zeros, rho=zeros,
-                 eta0=zeros, eta1=zeros, u0=zeros_io, u1=zeros_io)
+    state = dict(image=zeros_io, fwd=zeros_io, v=zeros, b=zeros,
+                 a0=zeros, a1=zeros)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
     HM = jax.lax.complex(pre.HMr, pre.HMi)
     zcol = jnp.zeros((ph, 128), f32)
     needs_interp = not pk2.rfused_mosaic_ok(ph, pw)
 
     def body(_, s):
-        (rkr, rki, vr_, vi_, eta0n, eta1n, u0n, u1n, X) = pk2.e1_rfused(
-            s["image"], s["fwd"], s["xi"], s["rho"], s["eta0"], s["eta1"],
-            s["u0"], s["u1"], mask_c, dp_c, mu1, mu2, mu3, tau)
+        (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_rcarry(
+            s["image"], s["fwd"], s["v"], s["b"], s["a0"], s["a1"],
+            mask_c, dp_c, mu1, mu2, mu3, tau)
         # exact DC (kw=0) and Nyquist (kw=M) columns on the side: the
         # packed lane is not separable under the filter multiply, so the
         # two real spatial columns are convolved directly in XLA
@@ -321,13 +321,11 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         ar, ai = pk2.fft_h(rkr, rki, ph)
         fr, fi = pk2.fft_h_combine(vr_, vi_, ar, ai, Hr_c, Hi_c, R_c, ph)
         (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
-        imgn, fwdn, xin, rhon = pk2.e2_rfused(
-            a0r, a0i, a1r, a1i, s["xi"], X, s["rho"], s["image"],
+        imgn, fwdn = pk2.irfft_w_dual(
+            a0r, a0i, a1r, a1i,
             zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
-            zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
-            mu1, mu3)
-        return dict(image=imgn, fwd=fwdn, xi=xin, rho=rhon,
-                    eta0=eta0n, eta1=eta1n, u0=u0n, u1=u1n)
+            zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM))
+        return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n)
 
     with pk2.forced_interpret(needs_interp):
         state = jax.lax.fori_loop(0, n_iter, body, state)
