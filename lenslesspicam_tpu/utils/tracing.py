@@ -68,26 +68,27 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
     (recon/admm_split.run_split_rfused / run_split_fused), counted from
     the kernel block specs:
 
-    e1: reads image x3 (halo refs) + u0 x2 + fwd + u1 (io) and eta0 x2 +
-        eta1 + rho + xi + Xd + dp (f32); writes rk/v spectra (4 half
-        planes, io) + u0'/u1' (io) + eta' x2 + X (f32).
-    fft_h:   4 half-plane passes in + out  (io)
-    combine: passA 4 + passB 9 half planes (io)
-    dual:    passB 8 + 2x passA 8 half planes (io)
-    e2: reads 4 half spectra + image_old (io), xi/X/rho (f32); writes
-        image/fwd (io), xi'/rho' (f32).
+    e1 (carry-rebuild): reads image x3 (halo refs) + fwd + mask + dp
+        (io) and the {v, b, a0 x2 (halo), a1} carries (f32); writes rk/v
+        spectra (4 planes, io) + {v', a0', a1', b'} (f32).  The
+        accumulating duals xi/rho/eta/u are rebuilt in-kernel and never
+        cross HBM.
+    fft_h:   4 spectrum-plane passes in + out  (io)
+    combine: passA 4 + passB 9 spectrum planes (io)
+    dual:    passB 8 + 2x passA 8 spectrum planes (io)
+    e2 (pure dual W-inverse): reads 4 spectra, writes image/fwd (io).
 
-    half_spectrum=False doubles the spectrum planes (full-width path).
+    half_spectrum=True halves every spectrum plane (packed-real path).
     """
     d, ph, pw = padded_shape[0], padded_shape[1], padded_shape[2]
     a = d * ph * pw * channels            # elements per full plane
     h = 0.5 if half_spectrum else 1.0     # spectrum plane scale
-    io_planes = (7 + 2 + 4 * h            # e1 reads + writes
+    io_planes = (6 + 4 * h                # e1 reads + spectrum writes
                  + 8 * h                  # fft_h
                  + 13 * h                 # fft_h_combine
                  + 16 * h                 # ifft_h_dual
-                 + 4 * h + 1 + 2)         # e2
-    f32_planes = 7 + 3 + 3 + 2            # e1 + e2 f32 state
+                 + 4 * h + 2)             # e2 dual inverse
+    f32_planes = 5 + 4                    # e1 carry reads + writes
     return int(a * (io_planes * io_bytes + f32_planes * 4))
 
 
