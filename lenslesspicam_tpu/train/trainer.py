@@ -151,6 +151,23 @@ def make_optimizer(config: TrainerConfig, steps_per_epoch: int) -> optax.Gradien
     return tx
 
 
+def measure_gradient(grads) -> float:
+    """Global L2 norm of a gradient pytree (reference
+    recon/utils.py:397-418 measure_gradient)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    return float(jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves)))
+
+
+def gradient_norms(grads) -> dict:
+    """Per-top-level-module L2 gradient norms — the per-component view
+    the reference prints when diagnosing training (utils.py:397-418
+    applied per submodule)."""
+    out = {}
+    for key, sub in (grads.items() if isinstance(grads, dict) else []):
+        out[key] = measure_gradient(sub)
+    return out
+
+
 def _norm_crop(img, crop, eps=1e-12):
     """Max-normalize per sample then ROI-crop (utils.py:1006-1051)."""
     m = jnp.max(img, axis=(-1, -2, -3), keepdims=True) + eps

@@ -221,3 +221,14 @@ def test_trainer_step_log_and_examples(tmp_path):
     assert all(np.isfinite(r["loss"]) for r in recs)
     assert os.path.exists(tmp_path / "run" / "epoch2" / "recon_0.png")
     assert os.path.exists(tmp_path / "run" / "epoch2" / "lensed_0.png")
+
+
+def test_measure_gradient():
+    from lenslesspicam_tpu.train.trainer import gradient_norms, measure_gradient
+
+    grads = {"pre": {"w": jnp.full((2, 2), 3.0)}, "post": {"w": jnp.full((4,), 4.0)}}
+    total = measure_gradient(grads)
+    np.testing.assert_allclose(total, np.sqrt(4 * 9 + 4 * 16), rtol=1e-6)
+    per = gradient_norms(grads)
+    np.testing.assert_allclose(per["pre"], 6.0, rtol=1e-6)
+    np.testing.assert_allclose(per["post"], 8.0, rtol=1e-6)
