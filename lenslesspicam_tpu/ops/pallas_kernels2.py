@@ -730,8 +730,18 @@ def ifft_w_dual(a0r, a0i, a1r, a1i, block_rows=None):
 # ---------------------------------------------------------------------------
 
 
+_N_RMATS = 16
+
+
 def _rplan_mats(n_full, inverse):
-    """Constant operand stack for the packed-real kernels (jnp arrays)."""
+    """Constant operand stack for the packed-real kernels (jnp arrays).
+
+    The forward core needs the mirror P_rev = P[(M-k) mod M] which
+    factorizes as a k1 (row) permutation J1 and a k2 (lane) permutation
+    J2b (J2a on the k1 = 0 row).  The lane permutations are
+    PREMULTIPLIED into stage-2 matrices host-side (F2?a / F2?b) so the
+    kernel computes P_rev with ordinary contractions and no in-kernel
+    transpose (see _w_rfwd_core)."""
     from .pallas_fft import _rplan
 
     m = n_full // 2
@@ -740,7 +750,10 @@ def _rplan_mats(n_full, inverse):
     tw_r, tw_i = (Wr, Wi) if inverse else (Er, Ei)
     mats = (F1r, F1i, F2r, F2i,
             np.ascontiguousarray(Tr.T), np.ascontiguousarray(Ti.T),
-            J1, J2a, J2b, tw_r, tw_i, mask00)
+            J1, J2a, J2b, tw_r, tw_i, mask00,
+            np.ascontiguousarray(F2r @ J2b), np.ascontiguousarray(F2i @ J2b),
+            np.ascontiguousarray(F2r @ J2a), np.ascontiguousarray(F2i @ J2a))
+    assert len(mats) == _N_RMATS
     return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
 
 
@@ -773,8 +786,15 @@ def _mirror_core(Pr, Pi, j1m, j2a, j2b):
 
 
 def _w_rfwd_core(x2d, n1, n2, mats):
-    """(br, N) split-layout real rows -> half-spectrum (br, M) pair."""
-    f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, er, ei, mask00 = mats
+    """(br, N) split-layout real rows -> half-spectrum (br, M) pair.
+
+    The mirror P_rev = P[(M-k) mod M] is computed WITHOUT permuting P:
+    the k1 row permutation becomes a lane matmul on the stage-1 output t
+    (t2 = t . J1, k1 is t's lane axis) and the k2 lane permutation is
+    premultiplied into stage-2 (F2?b, F2?a for the special k1 = 0 row) —
+    no in-kernel transpose/relayout (round-1 _mirror_core did both)."""
+    (f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, er, ei, mask00,
+     f2rb, f2ib, f2ra, f2ia) = mats
     br = x2d.shape[0]
     m = n1 * n2
     pr = x2d[:, :m].reshape(br, n1, n2)
@@ -795,9 +815,39 @@ def _w_rfwd_core(x2d, n1, n2, mats):
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
+    def dgL(v, mat):                           # lane permutation of k1
+        return jax.lax.dot_general(v, mat, (((2,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
     Pr = dgB(tr, f2r) - dgB(ti, f2i)          # (br, k1, k2)
     Pi = dgB(tr, f2i) + dgB(ti, f2r)
-    Rr, Ri = _mirror_core(Pr, Pi, j1m, j2a, j2b)
+    if n1 == 1:                                # degenerate: only row 0
+        Rr = dgB(tr, f2ra) - dgB(ti, f2ia)
+        Ri = dgB(tr, f2ia) + dgB(ti, f2ra)
+    else:
+        t2r = dgL(tr, j1m)                     # t at k1 -> sigma1(k1)
+        t2i = dgL(ti, j1m)
+        Rr_b = dgB(t2r, f2rb) - dgB(t2i, f2ib)
+        Ri_b = dgB(t2r, f2ib) + dgB(t2i, f2rb)
+        # row k1 = 0 (self-mirrored) uses the J2a lane permutation;
+        # sigma1(0) = 0 so it reads t's own lane 0
+        t0r, t0i = tr[:, :, :1], ti[:, :, :1]
+        R0r = (jax.lax.dot_general(t0r, f2ra, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+               - jax.lax.dot_general(t0i, f2ia, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=_PREC))
+        R0i = (jax.lax.dot_general(t0r, f2ia, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+               + jax.lax.dot_general(t0i, f2ra, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=_PREC))
+        # R0? comes out (br, 1, k2): lhs remaining dims (br, 1) + rhs k2
+        Rr = jnp.concatenate([R0r, Rr_b[:, 1:, :]], axis=1)
+        Ri = jnp.concatenate([R0i, Ri_b[:, 1:, :]], axis=1)
     Sr, Si = Pr + Rr, Pi - Ri
     Dr, Di = Pr - Rr, Pi + Ri
     Zr = 0.5 * (Sr + er * Di + ei * Dr)
@@ -808,7 +858,8 @@ def _w_rfwd_core(x2d, n1, n2, mats):
 
 def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
     """(br, M) half-spectrum pair -> (br, N) split-layout real rows."""
-    f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, wr, wi, mask00 = mats
+    (f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, wr, wi, mask00,
+     _f2rb, _f2ib, _f2ra, _f2ia) = mats
     br = zr2d.shape[0]
     m = n1 * n2
     Z3r = zr2d.reshape(br, n1, n2)
@@ -851,16 +902,16 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
 
 
 def _w_rfwd_kernel(n1, n2, x_ref, *refs):
-    mats = tuple(r[:] for r in refs[:12])
-    or_ref, oi_ref = refs[12], refs[13]
+    mats = tuple(r[:] for r in refs[:_N_RMATS])
+    or_ref, oi_ref = refs[_N_RMATS], refs[_N_RMATS + 1]
     zr, zi = _w_rfwd_core(x_ref[:].astype(jnp.float32), n1, n2, mats)
     or_ref[:] = zr.astype(or_ref.dtype)
     oi_ref[:] = zi.astype(oi_ref.dtype)
 
 
 def _w_rinv_kernel(n1, n2, scale, zr_ref, zi_ref, *refs):
-    mats = tuple(r[:] for r in refs[:12])
-    out_ref = refs[12]
+    mats = tuple(r[:] for r in refs[:_N_RMATS])
+    out_ref = refs[_N_RMATS]
     out = _w_rinv_core(zr_ref[:].astype(jnp.float32),
                        zi_ref[:].astype(jnp.float32), n1, n2, scale, mats)
     out_ref[:] = out.astype(out_ref.dtype)
@@ -942,9 +993,9 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     algebra as _e1c_kernel (xi = mu1*fwd - v, rho = mu3*image - b,
     eta_eff = mu2*psi - a) with spatial planes in the split lane layout
     and the packed-real W transform in-kernel."""
-    mats = tuple(r[:] for r in refs[:12])
+    mats = tuple(r[:] for r in refs[:_N_RMATS])
     (rkr_ref, rki_ref, vr_ref, vi_ref,
-     vo_ref, a0o_ref, a1o_ref, bo_ref) = refs[12:]
+     vo_ref, a0o_ref, a1o_ref, bo_ref) = refs[_N_RMATS:]
     f32 = jnp.float32
     img_c = imgc_ref[:].astype(f32)
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
@@ -990,8 +1041,8 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
 def _w_rinv_dual_kernel(n1, n2, scale,
                         a0r_ref, a0i_ref, a1r_ref, a1i_ref,
                         p0r_ref, p0i_ref, p1r_ref, p1i_ref, *refs):
-    mats = tuple(r[:] for r in refs[:12])
-    img_ref, fwd_ref = refs[12:]
+    mats = tuple(r[:] for r in refs[:_N_RMATS])
+    img_ref, fwd_ref = refs[_N_RMATS:]
     f32 = jnp.float32
     # patch the exact DC/Nyquist packed lane (column 0, column vectors
     # computed in XLA) in-kernel — a host-graph .at[:, 0].set would copy
