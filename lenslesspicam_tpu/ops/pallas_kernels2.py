@@ -730,59 +730,66 @@ def ifft_w_dual(a0r, a0i, a1r, a1i, block_rows=None):
 # ---------------------------------------------------------------------------
 
 
-_N_RMATS = 16
+_N_RMATS = 30
 
 
 def _rplan_mats(n_full, inverse):
     """Constant operand stack for the packed-real kernels (jnp arrays).
 
-    The forward core needs the mirror P_rev = P[(M-k) mod M] which
-    factorizes as a k1 (row) permutation J1 and a k2 (lane) permutation
-    J2b (J2a on the k1 = 0 row).  The lane permutations are
-    PREMULTIPLIED into stage-2 matrices host-side (F2?a / F2?b) so the
-    kernel computes P_rev with ordinary contractions and no in-kernel
-    transpose (see _w_rfwd_core)."""
+    Both cores need the mirror R(P) = P[(M-k) mod M], which factorizes
+    as a k1 (row) permutation J1 and a k2 (lane) permutation J2b (J2a on
+    the k1 = 0 row).  All permutations are folded into host-precomputed
+    operands so neither core performs an in-kernel transpose/relayout:
+
+    * forward (_w_rfwd_core): k1 perm as a lane matmul on the stage-1
+      output, k2 perm premultiplied into stage-2 (F2 @ J2b / F2 @ J2a).
+    * inverse (_w_rinv_core): the unpack algebra is rewritten as
+      P = alpha.Z + beta.conj(R(Z)) with position fields alpha/beta,
+      and C(R(W)) folds the permutations into row-permuted stage
+      matrices (J2b @ F2 / J2a @ F2 for stage B, T[sigma1(k)] twiddle,
+      F1 @ J1 for stage C) — see _w_rinv_core.
+    """
     from .pallas_fft import _rplan
 
     m = n_full // 2
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _plan(m, inverse)
     J1, J2a, J2b, Er, Ei, Wr, Wi, mask00, _, _ = _rplan(n_full)
     tw_r, tw_i = (Wr, Wi) if inverse else (Er, Ei)
-    mats = (F1r, F1i, F2r, F2i,
-            np.ascontiguousarray(Tr.T), np.ascontiguousarray(Ti.T),
+
+    # inverse-fold fields (used only by the inverse core; computed for
+    # both plans — cheap, keeps one tuple layout)
+    w = Wr + 1j * Wi if inverse else Er + 1j * Ei  # unpack twiddle field
+    alpha = 0.5 * ((1.0 - w.imag) + 1j * w.real)
+    beta = 0.5 * ((1.0 + w.imag) - 1j * w.real)
+    # packed DC position stores (Z[0], Z[M]): P(0,0) = 0.5(1+i) conj-side
+    alpha[0, 0] = 0.0
+    beta[0, 0] = 0.5 + 0.5j
+    # beta composed with the mirror permutation (numpy ground truth)
+    k1g, k2g = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    s1 = (-k1g) % n1
+    s2 = np.where(k1g == 0, (-k2g) % n2, n2 - 1 - k2g)
+    beta_s = beta[s1, s2]
+    TrT = np.ascontiguousarray(Tr.T)  # (n1, n2) [k1, j2]
+    TiT = np.ascontiguousarray(Ti.T)
+    mats = (F1r, F1i, F2r, F2i, TrT, TiT,
             J1, J2a, J2b, tw_r, tw_i, mask00,
+            # forward-fold stage-2 (column-permuted)
             np.ascontiguousarray(F2r @ J2b), np.ascontiguousarray(F2i @ J2b),
-            np.ascontiguousarray(F2r @ J2a), np.ascontiguousarray(F2i @ J2a))
+            np.ascontiguousarray(F2r @ J2a), np.ascontiguousarray(F2i @ J2a),
+            # inverse-fold operands
+            np.ascontiguousarray(alpha.real.astype(np.float32)),
+            np.ascontiguousarray(alpha.imag.astype(np.float32)),
+            np.ascontiguousarray(beta_s.real.astype(np.float32)),
+            np.ascontiguousarray(beta_s.imag.astype(np.float32)),
+            np.ascontiguousarray(J2b @ F2r), np.ascontiguousarray(J2b @ F2i),
+            np.ascontiguousarray(J2a @ F2r), np.ascontiguousarray(J2a @ F2i),
+            np.ascontiguousarray(F1r @ J1), np.ascontiguousarray(F1i @ J1),
+            # twiddle as (n1, n2) [k1, j2] + its sigma1-row-permuted copy
+            np.ascontiguousarray(Tr), np.ascontiguousarray(Ti),
+            np.ascontiguousarray(Tr[(-np.arange(n1)) % n1]),
+            np.ascontiguousarray(Ti[(-np.arange(n1)) % n1]))
     assert len(mats) == _N_RMATS
     return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
-
-
-def _mirror_core(Pr, Pi, j1m, j2a, j2b):
-    """P_rev[k1, k2] = P at split position of freq (M - k) mod M, via
-    permutation matmuls on (br, n1, n2) planes."""
-
-    def rowperm(v):
-        q = jax.lax.dot_general(j1m, v, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=_PREC)
-        return jnp.transpose(q, (1, 0, 2))
-
-    def laneperm(v, mat):
-        return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
-
-    n1 = Pr.shape[1]
-    outs = []
-    for v in (Pr, Pi):
-        if n1 == 1:               # degenerate factorization: only row 0
-            outs.append(laneperm(v, j2a))
-            continue
-        q = rowperm(v)
-        row0 = laneperm(q[:, :1, :], j2a)
-        rest = laneperm(q, j2b)[:, 1:, :]
-        outs.append(jnp.concatenate([row0, rest], axis=1))
-    return outs[0], outs[1]
 
 
 def _w_rfwd_core(x2d, n1, n2, mats):
@@ -794,7 +801,7 @@ def _w_rfwd_core(x2d, n1, n2, mats):
     premultiplied into stage-2 (F2?b, F2?a for the special k1 = 0 row) —
     no in-kernel transpose/relayout (round-1 _mirror_core did both)."""
     (f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, er, ei, mask00,
-     f2rb, f2ib, f2ra, f2ia) = mats
+     f2rb, f2ib, f2ra, f2ia) = mats[:16]
     br = x2d.shape[0]
     m = n1 * n2
     pr = x2d[:, :m].reshape(br, n1, n2)
@@ -857,45 +864,63 @@ def _w_rfwd_core(x2d, n1, n2, mats):
 
 
 def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
-    """(br, M) half-spectrum pair -> (br, N) split-layout real rows."""
-    (f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, wr, wi, mask00,
-     _f2rb, _f2ib, _f2ra, _f2ia) = mats
+    """(br, M) half-spectrum pair -> (br, N) split-layout real rows.
+
+    Permutation-free unpack: the even/odd reconstruction is algebra-
+    identical to P = alpha.Z + beta.conj(R(Z)) with position fields
+    alpha/beta (the packed-DC position folded into the fields), and the
+    mirrored term routes through contraction stages with PERMUTED
+    matrices: C(R(W)) = dgC(dgB(W, J2b@F2) . T[sigma1], F1@J1) with a
+    thin J2a@F2 splice for the self-mirrored k1 = 0 row — no in-kernel
+    transpose, concat on one row only, no where-masks."""
+    (f1r, f1i, f2r, f2i) = mats[:4]
+    (alr, ali, bsr, bsi, f2sbr, f2sbi, f2sar, f2sai,
+     f1sr, f1si, twr, twi, tsr, tsi) = mats[16:]
     br = zr2d.shape[0]
     m = n1 * n2
     Z3r = zr2d.reshape(br, n1, n2)
     Z3i = zi2d.reshape(br, n1, n2)
-    Rr, Ri = _mirror_core(Z3r, Z3i, j1m, j2a, j2b)
-    Erg = 0.5 * (Z3r + Rr)
-    Eig = 0.5 * (Z3i - Ri)
-    Dr = 0.5 * (Z3r - Rr)
-    Di = 0.5 * (Z3i + Ri)
-    Org = wr * Dr - wi * Di
-    Oig = wr * Di + wi * Dr
-    msk = mask00 > 0
-    Er = jnp.where(msk, 0.5 * (Z3r + Z3i), Erg)
-    Ei = jnp.where(msk, 0.0, Eig)
-    Or = jnp.where(msk, 0.5 * (Z3r - Z3i), Org)
-    Oi = jnp.where(msk, 0.0, Oig)
-    Pr = Er - Oi
-    Pi = Ei + Or
+    # A-part: alpha . Z ; W = (beta o sigma) . conj(Z)
+    Par = alr * Z3r - ali * Z3i
+    Pai = ali * Z3r + alr * Z3i
+    Wr_ = bsr * Z3r + bsi * Z3i          # conj(Z): imag negated
+    Wi_ = bsi * Z3r - bsr * Z3i
 
     def dgB(v, mat):                           # contract k2
         return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
-    ar = dgB(Pr, f2r) - dgB(Pi, f2i)           # (br, k1, j2)
-    ai = dgB(Pr, f2i) + dgB(Pi, f2r)
-    tr_ = ar * trt.T - ai * tit.T
-    ti_ = ar * tit.T + ai * trt.T
-
     def dgC(v, mat):                           # contract k1 -> (br, j2, j1)
         return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
-    pr_ = dgC(tr_, f1r) - dgC(ti_, f1i)
-    pi_ = dgC(tr_, f1i) + dgC(ti_, f1r)
+    # A-chain: standard stages
+    ar = dgB(Par, f2r) - dgB(Pai, f2i)         # (br, k1, j2)
+    ai = dgB(Par, f2i) + dgB(Pai, f2r)
+    tr_ = ar * twr - ai * twi                  # twr/twi are (n1, n2) [k1, j2]
+    ti_ = ar * twi + ai * twr
+
+    # R(W)-chain: row-permuted stage matrices
+    gr = dgB(Wr_, f2sbr) - dgB(Wi_, f2sbi)     # (br, k, j2)
+    gi = dgB(Wr_, f2sbi) + dgB(Wi_, f2sbr)
+    if n1 > 1:
+        w0r, w0i = Wr_[:, :1, :], Wi_[:, :1, :]
+        g0r = dgB(w0r, f2sar) - dgB(w0i, f2sai)
+        g0i = dgB(w0r, f2sai) + dgB(w0i, f2sar)
+        gr = jnp.concatenate([g0r, gr[:, 1:, :]], axis=1)
+        gi = jnp.concatenate([g0i, gi[:, 1:, :]], axis=1)
+    else:
+        gr = dgB(Wr_, f2sar) - dgB(Wi_, f2sai)
+        gi = dgB(Wr_, f2sai) + dgB(Wi_, f2sar)
+    hr = gr * tsr - gi * tsi                   # twiddle at sigma1(k)
+    hi = gr * tsi + gi * tsr
+
+    pr_ = (dgC(tr_, f1r) - dgC(ti_, f1i)
+           + dgC(hr, f1sr) - dgC(hi, f1si))
+    pi_ = (dgC(tr_, f1i) + dgC(ti_, f1r)
+           + dgC(hr, f1si) + dgC(hi, f1sr))
     pr_ = jnp.swapaxes(pr_, 1, 2) * scale
     pi_ = jnp.swapaxes(pi_, 1, 2) * scale
     return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)], axis=1)
