@@ -270,6 +270,55 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
         return _timed(run, base_iter, n_iter, repeats)
 
 
+def time_admm_mode(shape, mode, n_iter=30, base_iter=2, repeats=3,
+                   batch=4):
+    """Time the batched/RGB fused backend: mode 'rgb' runs one 3-channel
+    image, mode 'batch' runs `batch` grayscale images — both as ONE jit
+    solve (vmapped Pallas grids).  Returns image-iterations/s (solver
+    iterations x images per wall-second)."""
+    import jax
+
+    from lenslesspicam_tpu.recon import admm_split
+
+    rng = np.random.RandomState(0)
+    ch = 3 if mode == "rgb" else 1
+    b = 1 if mode == "rgb" else batch
+    psf = rng.rand(1, *shape, ch).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    data = rng.rand(b, 1, *shape, ch).astype(np.float32)
+
+    pre, info = admm_split.precompute_split_general(psf, data)
+
+    @jax.jit
+    def run_sum(d, n):
+        out = admm_split.run_split_general(pre, info, d, n_iter=n,
+                                           backend="fused")
+        return out[:, :, ::499, ::499].sum()
+
+    return _timed(lambda k: float(run_sum(data, k)), base_iter, n_iter,
+                  repeats)
+
+
+def run_mode(mode: str, shape=(3040, 4056)):
+    """Measure an RGB or batch=4 rung and print its JSON line."""
+    jax = _setup_jax()
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    label = f"{shape[0] * shape[1] / 1e6:.0f}MP"
+    val = time_admm_mode(shape, mode)
+    images = 1 if mode == "rgb" else 4
+    metric = (f"ADMM iterations/s/chip at {label} (RGB)" if mode == "rgb"
+              else f"ADMM iterations/s/chip at {label} (gray, batch=4)")
+    # vs_baseline: linear pixel scaling of the reference GPU number,
+    # including channels/batch as extra pixels
+    pix_factor = 3 if mode == "rgb" else 4
+    print(json.dumps({
+        "metric": metric,
+        "value": round(val, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(val * pix_factor / _baseline(shape), 3),
+    }))
+
+
 def run_rung(rung_idx: int):
     """Child process: verify + measure one rung, print the JSON line."""
     shape, label = RUNGS[rung_idx]
@@ -294,6 +343,11 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--rung":
         run_rung(int(sys.argv[2]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--mode":
+        # secondary rungs (RGB / batch=4) — not the driver's headline
+        shape = RUNGS[int(sys.argv[3])][0] if len(sys.argv) > 3 else RUNGS[0][0]
+        run_mode(sys.argv[2], shape)
+        return
 
     # the rfused 12MP pipeline takes ~17 min to compile cold; the
     # persistent compilation cache (_setup_jax) makes subsequent runs
@@ -313,6 +367,9 @@ def main():
                     LPT_PALLAS_PRECISION=os.environ.get(
                         "BENCH_PALLAS_PRECISION", "default"),
                     LPT_SPLIT_IO=split_io,
+                    # carry planes follow the io dtype; the PSNR quality
+                    # gate in the child covers both together
+                    LPT_CARRY_IO=os.environ.get("BENCH_CARRY_IO", split_io),
                 )
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--rung",

@@ -119,6 +119,15 @@ _IO_DTYPE = (jnp.bfloat16
              if _os.environ.get("LPT_SPLIT_IO", "").lower() == "bf16"
              else jnp.float32)
 
+# Carry-plane storage dtype (the {v, b, a0, a1} dual-rebuild carries of
+# the e1 kernels).  bf16 injects rounding into the dual ACCUMULATION
+# each iteration (unlike the io spectra, which are re-derived), so it
+# is a separate, default-off knob: LPT_CARRY_IO=bf16 — quality-gate
+# before trusting (bench.py measures the PSNR delta).
+_CARRY_DTYPE = (jnp.bfloat16
+                if _os.environ.get("LPT_CARRY_IO", "").lower() == "bf16"
+                else jnp.float32)
+
 
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -599,33 +608,34 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]                       # rows [0, br]
-    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]], axis=0)
+    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
+                             axis=0).astype(f32)
     eta0_eff = mu2 * psi0_ext - a0_ext
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
     adj0 = a0[1:] - a0[:-1]
-    a0o_ref[:] = a0[:-1]
+    a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
 
     psi1 = jnp.concatenate([img_c[:, -1:], img_c[:, :-1]], axis=1) - img_c
-    eta1_eff = mu2 * psi1 - a1_ref[:]
+    eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = jnp.concatenate([a1[:, 1:], a1[:, :1]], axis=1) - a1
-    a1o_ref[:] = a1
+    a1o_ref[:] = a1.astype(a1o_ref.dtype)
 
-    rho = mu3 * img_c - b_ref[:]
+    rho = mu3 * img_c - b_ref[:].astype(f32)
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
-    bo_ref[:] = b
+    bo_ref[:] = b.astype(bo_ref.dtype)
     rk = b + adj0 + adj1
 
     fwdv = fwd_ref[:].astype(f32)
-    xi = mu1 * fwdv - v_ref[:]
+    xi = mu1 * fwdv - v_ref[:].astype(f32)
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
     X = xdv * (xi + mu1 * fwdv + dp_ref[:].astype(f32))
     v = mu1 * X - xi
-    vo_ref[:] = v
+    vo_ref[:] = v.astype(vo_ref.dtype)
 
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
     zr, zi = _w_fwd_core(rk, n1, n2, *mats)
@@ -668,9 +678,8 @@ def e1_carry(image, fwd, v, b, a0, a1, mask, dp,
     m1 = pl.BlockSpec((n1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     m2 = pl.BlockSpec((n2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    f32 = jnp.float32
     io_sh = jax.ShapeDtypeStruct((m, w), _IO_DTYPE)
-    f32_sh = jax.ShapeDtypeStruct((m, w), f32)
+    cr_sh = jax.ShapeDtypeStruct((m, w), _CARRY_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
@@ -684,8 +693,8 @@ def e1_carry(image, fwd, v, b, a0, a1, mask, dp,
                   m1, m1, m2, m2, mt, mt],
         out_specs=(spec_c,) * 8,
         out_shape=(io_sh, io_sh, io_sh, io_sh,     # rk/v W-spectra
-                   f32_sh,                         # v'
-                   f32_sh, f32_sh, f32_sh),        # a0', a1', b'
+                   cr_sh,                          # v'
+                   cr_sh, cr_sh, cr_sh),           # a0', a1', b'
         interpret=_INTERPRET,
     )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
 
@@ -1026,34 +1035,35 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]
-    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]], axis=0)
+    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
+                             axis=0).astype(f32)
     eta0_eff = mu2 * psi0_ext - a0_ext
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
     adj0 = a0[1:] - a0[:-1]
-    a0o_ref[:] = a0[:-1]
+    a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
 
     # W-axis TV in split layout
     psi1 = _split_roll_p1(img_c, mh) - img_c
-    eta1_eff = mu2 * psi1 - a1_ref[:]
+    eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = _split_roll_m1(a1, mh) - a1
-    a1o_ref[:] = a1
+    a1o_ref[:] = a1.astype(a1o_ref.dtype)
 
-    rho = mu3 * img_c - b_ref[:]
+    rho = mu3 * img_c - b_ref[:].astype(f32)
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
-    bo_ref[:] = b
+    bo_ref[:] = b.astype(bo_ref.dtype)
     rk = b + adj0 + adj1
 
     fwdv = fwd_ref[:].astype(f32)
-    xi = mu1 * fwdv - v_ref[:]
+    xi = mu1 * fwdv - v_ref[:].astype(f32)
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
     X = xdv * (xi + mu1 * fwdv + dp_ref[:].astype(f32))
     v = mu1 * X - xi
-    vo_ref[:] = v
+    vo_ref[:] = v.astype(vo_ref.dtype)
 
     zr, zi = _w_rfwd_core(rk, n1, n2, mats)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
@@ -1098,9 +1108,8 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
     spec_n = pl.BlockSpec((br, n_full), lambda i: ((i + 1) % nb, 0),
                           memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    f32 = jnp.float32
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
-    f32_sh = jax.ShapeDtypeStruct((m, n_full), f32)
+    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
@@ -1114,7 +1123,7 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
                  + _const_specs(mats),
         out_specs=(spec_h,) * 4 + (spec_c,) * 4,
         out_shape=(io_h, io_h, io_h, io_h,          # rk/v half spectra
-                   f32_sh, f32_sh, f32_sh, f32_sh),  # v', a0', a1', b'
+                   cr_sh, cr_sh, cr_sh, cr_sh),     # v', a0', a1', b'
         interpret=_INTERPRET,
     )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
 

@@ -168,10 +168,10 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     # bench quality gate
     mask_c = jnp.asarray(pre.X_divmat * mu1 < 0.5, io)
     dp_c = jnp.asarray(pre.data_pad, io)
-    zeros = jnp.zeros((ph, pw), jnp.float32)
+    zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
-    state = dict(image=zeros_io, fwd=zeros_io, v=zeros, b=zeros,
-                 a0=zeros, a1=zeros)
+    state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
+                 a0=zeros_cr, a1=zeros_cr)
 
     def body(_, s):
         (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_carry(
@@ -291,10 +291,10 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     # mantissa bits under bf16 io — covered by the bench PSNR gate
     mask_c = jnp.asarray(pre.mask, io)
     dp_c = jnp.asarray(pre.data_pad, io)
-    zeros = jnp.zeros((ph, pw), f32)
+    zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
-    state = dict(image=zeros_io, fwd=zeros_io, v=zeros, b=zeros,
-                 a0=zeros, a1=zeros)
+    state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
+                 a0=zeros_cr, a1=zeros_cr)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
     HM = jax.lax.complex(pre.HMr, pre.HMi)
     zcol = jnp.zeros((ph, 128), f32)

@@ -88,8 +88,11 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
                  + 13 * h                 # fft_h_combine
                  + 16 * h                 # ifft_h_dual
                  + 4 * h + 2)             # e2 dual inverse
-    f32_planes = 5 + 4                    # e1 carry reads + writes
-    return int(a * (io_planes * io_bytes + f32_planes * 4))
+    import os
+    carry_bytes = (2 if os.environ.get("LPT_CARRY_IO", "").lower() == "bf16"
+                   else 4)
+    carry_planes = 5 + 4                  # e1 carry reads + writes
+    return int(a * (io_planes * io_bytes + carry_planes * carry_bytes))
 
 
 def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
