@@ -500,6 +500,62 @@ def fft_h_combine(vr, vi, ar, ai, hr, hi, rr, h):
     return fr.reshape(h, w), fi.reshape(h, w)
 
 
+def _h_passB_combine2_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
+                             hi_ref, rr_ref, f2r, f2i, fr_out, fi_out):
+    """Stage-2 for BOTH forward planes in one kernel: a = F2^T x (the rk
+    stage-A output), b = F2^T y (the v stage-A output), then
+    f = R (a + conj(H) b) — the rk spectrum never crosses HBM."""
+    kb, _, bw = xr_ref.shape
+
+    def stage2(r_ref, i_ref):
+        r2 = jnp.swapaxes(r_ref[:].astype(jnp.float32), 0, 1).reshape(n2, kb * bw)
+        i2 = jnp.swapaxes(i_ref[:].astype(jnp.float32), 0, 1).reshape(n2, kb * bw)
+        zr = _mm(f2r[:], r2) - _mm(f2i[:], i2)
+        zi = _mm(f2r[:], i2) + _mm(f2i[:], r2)
+        return (jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1),
+                jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1))
+
+    ar, ai = stage2(xr_ref, xi_ref)
+    br, bi = stage2(yr_ref, yi_ref)
+    hr = hr_ref[:].astype(jnp.float32)
+    hi = hi_ref[:].astype(jnp.float32)
+    rr = rr_ref[:].astype(jnp.float32)
+    fr_out[:] = (rr * (ar + hr * br + hi * bi)).astype(fr_out.dtype)
+    fi_out[:] = (rr * (ai + hr * bi - hi * br)).astype(fi_out.dtype)
+
+
+def fft_h_combine2(rkr, rki, vr, vi, hr, hi, rr, h):
+    """Forward H transforms of BOTH ADMM planes with the spectrum
+    combine fused into one shared stage-2 kernel: two stage-A passes,
+    then _h_passB_combine2_kernel — replaces fft_h(rk) + fft_h_combine
+    and saves the rk spectrum's HBM round trip (4 plane passes)."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(h, False)
+    w = vr.shape[-1]
+    xa_r, xa_i = h_passA(rkr.reshape(n1, n2, w), rki.reshape(n1, n2, w),
+                         h, False)
+    ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
+                         h, False)
+    bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
+    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    F2r, F2i = _mats(h, False)[2:4]
+    shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
+    fr, fi = pl.pallas_call(
+        partial(_h_passB_combine2_kernel, n2),
+        grid=(n1 // kb, w // bw),
+        in_specs=[data_spec] * 7 + [mat_spec, mat_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(shape, shape),
+        interpret=_INTERPRET,
+    )(xa_r, xa_i, ya_r, ya_i,
+      hr.reshape(n1, n2, w), hi.reshape(n1, n2, w), rr.reshape(n1, n2, w),
+      F2r, F2i)
+    return fr.reshape(h, w), fi.reshape(h, w)
+
+
 # ---------------------------------------------------------------------------
 # dual-output inverse pass B: one spectrum read -> two filtered planes
 # (ADMM needs image = inv(F_img) and forward_out = inv(H * F_img))

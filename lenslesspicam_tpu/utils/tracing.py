@@ -73,8 +73,8 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
         spectra (4 planes, io) + {v', a0', a1', b'} (f32).  The
         accumulating duals xi/rho/eta/u are rebuilt in-kernel and never
         cross HBM.
-    fft_h:   4 spectrum-plane passes in + out  (io)
-    combine: passA 4 + passB 9 spectrum planes (io)
+    combine2: 2x passA (8) + shared passB_combine2 (9) spectrum planes
+        (io) — the rk spectrum's stage-B round trip is fused away
     dual:    passB 8 + 2x passA 8 spectrum planes (io)
     e2 (pure dual W-inverse): reads 4 spectra, writes image/fwd (io).
 
@@ -84,8 +84,7 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
     a = d * ph * pw * channels            # elements per full plane
     h = 0.5 if half_spectrum else 1.0     # spectrum plane scale
     io_planes = (6 + 4 * h                # e1 reads + spectrum writes
-                 + 8 * h                  # fft_h
-                 + 13 * h                 # fft_h_combine
+                 + 17 * h                 # fft_h_combine2 (2x passA + B)
                  + 16 * h                 # ifft_h_dual
                  + 4 * h + 2)             # e2 dual inverse
     import os
