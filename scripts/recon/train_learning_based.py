@@ -1,8 +1,15 @@
 """Learned-reconstruction training CLI
 (reference: scripts/recon/train_learning_based.py).
 
-    python scripts/recon/train_learning_based.py \
-        reconstruction.method=unrolled_admm \
+The single training entry point: builds the modular model
+(pre-processor -> camera inversion -> post-processor, with optional
+PSF network, background subtraction, and compensation branch) from the
+config, wires the Trainer's full feature surface (aux losses, rotate
+augmentation, processor delay/freeze schedule, checkpoints + resume,
+per-step logging), and trains.
+
+    python scripts/recon/train_learning_based.py \\
+        reconstruction.method=unrolled_admm \\
         reconstruction.post_process.network=UnetRes training.epoch=5
 """
 
@@ -18,7 +25,22 @@ from lenslesspicam_tpu.utils.config import config_main
 _CONFIG = os.path.join(os.path.dirname(__file__), "..", "..", "configs", "train.yaml")
 
 
+def _processor(sub):
+    """Config -> processor module (the reference's create_process_network,
+    recon/utils.py:419-528)."""
+    from lenslesspicam_tpu.models.restormer import Restormer
+    from lenslesspicam_tpu.models.unet import UNetRes
+
+    net = sub.get("network")
+    if net in ("UnetRes", "DruNet"):
+        return UNetRes(out_nc=3, nc=tuple(sub["nc"]), nb=sub.get("depth", 4))
+    if net == "Restormer":
+        return Restormer(out_channels=3)
+    return None
+
+
 def _build_model(config):
+    from lenslesspicam_tpu.models.compensation import CompensationBranch
     from lenslesspicam_tpu.models.inversion import SVDeconvNet, TrainableInversion
     from lenslesspicam_tpu.models.multi_wiener import MultiWiener
     from lenslesspicam_tpu.models.trainable_recon import TrainableRecon
@@ -27,11 +49,6 @@ def _build_model(config):
 
     rc = config.reconstruction
     method = rc.method
-
-    def proc(sub):
-        if sub.get("network") in ("UnetRes", "DruNet"):
-            return UNetRes(out_nc=3, nc=tuple(sub["nc"]), nb=sub.get("depth", 4))
-        return None
 
     if method == "multi_wiener":
         return MultiWiener(in_channels=3, out_channels=3)
@@ -48,11 +65,30 @@ def _build_model(config):
         "sv_deconvnet": lambda: SVDeconvNet(),
     }[method]()
 
+    background_network = None
+    if rc.get("learned_background_subtraction") or \
+            rc.get("integrated_background_subtraction"):
+        background_network = UNetRes(out_nc=3, nc=(8, 16, 32, 64), nb=2)
+
+    compensation = None
+    if rc.get("compensation"):
+        compensation = CompensationBranch(
+            nc=tuple(int(c) for c in rc.compensation))
+
     return TrainableRecon(
         camera_inversion=inversion,
-        pre_process=proc(rc.pre_process),
-        post_process=proc(rc.post_process),
-        psf_network=UNetRes(out_nc=3, nc=(4, 8, 16, 32), nb=2) if rc.psf_network else None,
+        pre_process=_processor(rc.pre_process),
+        post_process=_processor(rc.post_process),
+        psf_network=(UNetRes(out_nc=3, nc=(4, 8, 16, 32), nb=2)
+                     if rc.psf_network else None),
+        psf_residual=bool(rc.get("psf_network_residual", True)),
+        background_network=background_network,
+        compensation_branch=compensation,
+        direct_background_subtraction=bool(
+            rc.get("direct_background_subtraction", False)),
+        integrated_background_subtraction=bool(
+            rc.get("integrated_background_subtraction", False)),
+        skip_unrolled=bool(rc.get("skip_unrolled", False)),
     )
 
 
@@ -70,8 +106,13 @@ def main(config):
         ds = simulate_dataset({"dataset": "random",
                                "n_files": config.dataset.n_files}, psf=psf)
     else:
+        kwargs = {}
+        if config.dataset.get("random_flip"):
+            kwargs["random_flip"] = True
+        if config.dataset.get("input_snr"):
+            kwargs["input_snr"] = float(config.dataset.input_snr)
         ds = get_dataset(config.dataset.name, split="train",
-                         downsample=config.dataset.downsample)
+                         downsample=config.dataset.downsample, **kwargs)
         psf = ds.psf
 
     batches = list(ds.batches(batch_size=config.dataset.batch_size))
@@ -81,21 +122,40 @@ def main(config):
     mask = prep_trainable_mask(dict(config.trainable_mask or {}), psf=psf)
     model = _build_model(config)
 
+    rc = config.reconstruction
+    tr = config.training
     tcfg = TrainerConfig(
-        epochs=config.training.epoch,
-        lr=float(config.training.lr),
-        optimizer=config.training.optimizer,
-        loss=config.training.loss,
-        lpips_weight=config.training.lpips,
-        crop=config.training.crop,
-        skip_nan=config.training.skip_nan,
-        clip_grad=config.training.clip_grad,
-        metric_for_best=config.training.metric_for_best,
-        cosine_decay_warmup=config.training.get("cosine_decay_warmup", False),
+        epochs=tr.epoch,
+        lr=float(tr.lr),
+        optimizer=tr.optimizer,
+        loss=tr.loss,
+        lpips_weight=tr.lpips,
+        unrolled_output_factor=(float(tr.unrolled_output_factor)
+                                if tr.get("unrolled_output_factor") else None),
+        pre_proc_aux=(float(tr.pre_proc_aux)
+                      if tr.get("pre_proc_aux") else None),
+        crop=tr.crop,
+        skip_nan=tr.skip_nan,
+        clip_grad=tr.clip_grad,
+        random_rotate=(float(tr.random_rotate)
+                       if tr.get("random_rotate") else None),
+        pre_process_delay=rc.pre_process.get("delay"),
+        post_process_delay=rc.post_process.get("delay"),
+        pre_process_freeze=rc.pre_process.get("freeze"),
+        post_process_freeze=rc.post_process.get("freeze"),
+        pre_process_unfreeze=rc.pre_process.get("unfreeze"),
+        post_process_unfreeze=rc.post_process.get("unfreeze"),
+        metric_for_best=tr.metric_for_best,
+        cosine_decay_warmup=tr.get("cosine_decay_warmup", False),
         save_dir=os.path.join(config.run_dir, "checkpoints"),
+        save_examples=bool(tr.get("save_examples", False)),
+        steps_per_epoch=len(train_batches),
     )
     trainer = Trainer(model, psf, lambda: iter(train_batches), test_batches,
                       tcfg, mask=mask, seed=config.seed)
+    if tr.get("resume"):
+        start = trainer.resume()
+        print(f"resumed at epoch {start}")
     log = trainer.train()
     print(f"best {tcfg.metric_for_best}: {trainer.best_metric}")
     return log
