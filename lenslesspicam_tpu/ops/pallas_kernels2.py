@@ -299,18 +299,57 @@ def ifft_h(vr, vi, h, filt_r=None, filt_i=None):
 # ---------------------------------------------------------------------------
 
 
-def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit):
+def j2major_perm(m: int) -> np.ndarray:
+    """Lane permutation natural -> j2-major for a length-m W axis:
+    lane L = j2*n1 + j1 stores natural index j = j1*n2 + j2.  In this
+    layout the inverse W cores' natural (br, j2, j1) output order IS
+    the storage order — no trailing transpose (see _w_inv_core)."""
+    from .pallas_fft import _factor
+
+    n1, n2 = _factor(m)
+    L = np.arange(m)
+    j2, j1 = L // n1, L % n1
+    return j1 * n2 + j2
+
+
+def j2m_roll(x, n1, shift):
+    """roll(natural, +-1) for j2-major lanes: a lane roll by +-n1 plus a
+    +-1 roll within the wrapped n1-wide block (the mixed-radix carry)."""
+    if shift == 1:
+        shifted = jnp.concatenate([x[:, -n1:], x[:, :-n1]], axis=1)
+        head = shifted[:, :n1]
+        head = jnp.concatenate([head[:, -1:], head[:, :-1]], axis=1)
+        return jnp.concatenate([head, shifted[:, n1:]], axis=1)
+    shifted = jnp.concatenate([x[:, n1:], x[:, :n1]], axis=1)
+    tail = shifted[:, -n1:]
+    tail = jnp.concatenate([tail[:, 1:], tail[:, :1]], axis=1)
+    return jnp.concatenate([shifted[:, :-n1], tail], axis=1)
+
+
+def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit, j2major=False):
     """Two-stage split-order forward W transform of (br, n1*n2) rows;
-    returns (zr, zi) as (br, n1*n2) f32."""
+    returns (zr, zi) as (br, n1*n2) f32.  With j2major the input rows
+    are in j2-major lane order (j = lane j2*n1 + j1) — stage 1 contracts
+    the trailing dim instead; output k-order is unchanged."""
     br = x2d.shape[0]
-    xs = x2d.reshape(br, n1, n2)
-    # stage 1: contract j1 -> (br, n2, n1)
-    yr = jax.lax.dot_general(xs, f1r, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC)
-    yi = jax.lax.dot_general(xs, f1i, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC)
+    if j2major:
+        xs = x2d.reshape(br, n2, n1)
+        # stage 1: contract j1 (trailing) -> (br, n2, n1)
+        yr = jax.lax.dot_general(xs, f1r, (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)
+        yi = jax.lax.dot_general(xs, f1i, (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)
+    else:
+        xs = x2d.reshape(br, n1, n2)
+        # stage 1: contract j1 -> (br, n2, n1)
+        yr = jax.lax.dot_general(xs, f1r, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)
+        yi = jax.lax.dot_general(xs, f1i, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)
     tr = yr * trt - yi * tit
     ti = yr * tit + yi * trt
     # stage 2: contract j2 -> (br, n1, n2)
@@ -329,9 +368,11 @@ def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit):
     return zr.reshape(br, n1 * n2), zi.reshape(br, n1 * n2)
 
 
-def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit):
+def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit,
+                j2major=False):
     """Two-stage split-order inverse W transform; returns the real part
-    as (br, n1*n2) f32."""
+    as (br, n1*n2) f32.  With j2major the natural (br, j2, j1) output
+    order IS the lane order — the trailing transpose disappears."""
     br = xr2d.shape[0]
     xr = xr2d.reshape(br, n1, n2)
     xi = xi2d.reshape(br, n1, n2)
@@ -358,6 +399,8 @@ def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit):
          jax.lax.dot_general(ti_, f1i, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
+    if j2major:
+        return (zr * scale).reshape(br, n1 * n2)
     return (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
 
 
@@ -673,11 +716,12 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     adj0 = a0[1:] - a0[:-1]
     a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
 
-    psi1 = jnp.concatenate([img_c[:, -1:], img_c[:, :-1]], axis=1) - img_c
+    # W-axis TV in j2-major lane order (mixed-radix roll)
+    psi1 = j2m_roll(img_c, n1, 1) - img_c
     eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
-    adj1 = jnp.concatenate([a1[:, 1:], a1[:, :1]], axis=1) - a1
+    adj1 = j2m_roll(a1, n1, -1) - a1
     a1o_ref[:] = a1.astype(a1o_ref.dtype)
 
     rho = mu3 * img_c - b_ref[:].astype(f32)
@@ -694,10 +738,10 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     vo_ref[:] = v.astype(vo_ref.dtype)
 
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
-    zr, zi = _w_fwd_core(rk, n1, n2, *mats)
+    zr, zi = _w_fwd_core(rk, n1, n2, *mats, j2major=True)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
     rki_ref[:] = zi.astype(rki_ref.dtype)
-    zr, zi = _w_fwd_core(v, n1, n2, *mats)
+    zr, zi = _w_fwd_core(v, n1, n2, *mats, j2major=True)
     vr_ref[:] = zr.astype(vr_ref.dtype)
     vi_ref[:] = zi.astype(vi_ref.dtype)
 
@@ -708,9 +752,9 @@ def _w_inv_dual_kernel(n1, n2, scale,
     f32 = jnp.float32
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
     image = _w_inv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
-                        n1, n2, scale, *mats)
+                        n1, n2, scale, *mats, j2major=True)
     fwd = _w_inv_core(a1r_ref[:].astype(f32), a1i_ref[:].astype(f32),
-                      n1, n2, scale, *mats)
+                      n1, n2, scale, *mats, j2major=True)
     img_ref[:] = image.astype(img_ref.dtype)
     fwd_ref[:] = fwd.astype(fwd_ref.dtype)
 
@@ -857,25 +901,35 @@ def _rplan_mats(n_full, inverse):
     return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
 
 
-def _w_rfwd_core(x2d, n1, n2, mats):
+def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
     """(br, N) split-layout real rows -> half-spectrum (br, M) pair.
 
     The mirror P_rev = P[(M-k) mod M] is computed WITHOUT permuting P:
     the k1 row permutation becomes a lane matmul on the stage-1 output t
     (t2 = t . J1, k1 is t's lane axis) and the k2 lane permutation is
     premultiplied into stage-2 (F2?b, F2?a for the special k1 = 0 row) —
-    no in-kernel transpose/relayout (round-1 _mirror_core did both)."""
+    no in-kernel transpose/relayout (round-1 _mirror_core did both).
+    With j2major the even/odd halves are in j2-major lane order."""
     (f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, er, ei, mask00,
      f2rb, f2ib, f2ra, f2ia) = mats[:16]
     br = x2d.shape[0]
     m = n1 * n2
-    pr = x2d[:, :m].reshape(br, n1, n2)
-    pi = x2d[:, m:].reshape(br, n1, n2)
+    if j2major:
+        pr = x2d[:, :m].reshape(br, n2, n1)
+        pi = x2d[:, m:].reshape(br, n2, n1)
 
-    def dgA(v, mat):
-        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
+        def dgA(v, mat):
+            return jax.lax.dot_general(v, mat, (((2,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_PREC)
+    else:
+        pr = x2d[:, :m].reshape(br, n1, n2)
+        pi = x2d[:, m:].reshape(br, n1, n2)
+
+        def dgA(v, mat):
+            return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_PREC)
 
     yr = dgA(pr, f1r) - dgA(pi, f1i)          # (br, j2, k1)
     yi = dgA(pr, f1i) + dgA(pi, f1r)
@@ -928,7 +982,7 @@ def _w_rfwd_core(x2d, n1, n2, mats):
     return Zr.reshape(br, m), Zi.reshape(br, m)
 
 
-def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
+def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
     """(br, M) half-spectrum pair -> (br, N) split-layout real rows.
 
     Permutation-free unpack: the even/odd reconstruction is algebra-
@@ -986,8 +1040,11 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
            + dgC(hr, f1sr) - dgC(hi, f1si))
     pi_ = (dgC(tr_, f1i) + dgC(ti_, f1r)
            + dgC(hr, f1si) + dgC(hi, f1sr))
-    pr_ = jnp.swapaxes(pr_, 1, 2) * scale
-    pi_ = jnp.swapaxes(pi_, 1, 2) * scale
+    if not j2major:
+        pr_ = jnp.swapaxes(pr_, 1, 2)
+        pi_ = jnp.swapaxes(pi_, 1, 2)
+    pr_ = pr_ * scale
+    pi_ = pi_ * scale
     return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)], axis=1)
 
 
@@ -1076,6 +1133,18 @@ def _split_roll_m1(x, mh):
         [od, jnp.concatenate([ev[:, 1:], ev[:, :1]], axis=1)], axis=1)
 
 
+def _split_roll_p1_j2m(x, mh, n1h):
+    """roll(x, +1) along natural W, split layout with j2-major halves."""
+    ev, od = x[:, :mh], x[:, mh:]
+    return jnp.concatenate([j2m_roll(od, n1h, 1), ev], axis=1)
+
+
+def _split_roll_m1_j2m(x, mh, n1h):
+    """roll(x, -1) along natural W, split layout with j2-major halves."""
+    ev, od = x[:, :mh], x[:, mh:]
+    return jnp.concatenate([od, j2m_roll(ev, n1h, -1)], axis=1)
+
+
 def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
                  imgp_ref, imgc_ref, imgn_ref, a0c_ref, a0n_ref, a1_ref,
                  v_ref, b_ref, fwd_ref, mask_ref, dp_ref, *refs):
@@ -1100,12 +1169,12 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     adj0 = a0[1:] - a0[:-1]
     a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
 
-    # W-axis TV in split layout
-    psi1 = _split_roll_p1(img_c, mh) - img_c
+    # W-axis TV in split layout, j2-major within halves
+    psi1 = _split_roll_p1_j2m(img_c, mh, n1) - img_c
     eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
-    adj1 = _split_roll_m1(a1, mh) - a1
+    adj1 = _split_roll_m1_j2m(a1, mh, n1) - a1
     a1o_ref[:] = a1.astype(a1o_ref.dtype)
 
     rho = mu3 * img_c - b_ref[:].astype(f32)
@@ -1121,10 +1190,10 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     v = mu1 * X - xi
     vo_ref[:] = v.astype(vo_ref.dtype)
 
-    zr, zi = _w_rfwd_core(rk, n1, n2, mats)
+    zr, zi = _w_rfwd_core(rk, n1, n2, mats, j2major=True)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
     rki_ref[:] = zi.astype(rki_ref.dtype)
-    zr, zi = _w_rfwd_core(v, n1, n2, mats)
+    zr, zi = _w_rfwd_core(v, n1, n2, mats, j2major=True)
     vr_ref[:] = zr.astype(vr_ref.dtype)
     vi_ref[:] = zi.astype(vi_ref.dtype)
 
@@ -1144,8 +1213,10 @@ def _w_rinv_dual_kernel(n1, n2, scale,
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
-    img_ref[:] = _w_rinv_core(a0r, a0i, n1, n2, scale, mats).astype(img_ref.dtype)
-    fwd_ref[:] = _w_rinv_core(a1r, a1i, n1, n2, scale, mats).astype(fwd_ref.dtype)
+    img_ref[:] = _w_rinv_core(a0r, a0i, n1, n2, scale, mats,
+                              j2major=True).astype(img_ref.dtype)
+    fwd_ref[:] = _w_rinv_core(a1r, a1i, n1, n2, scale, mats,
+                              j2major=True).astype(fwd_ref.dtype)
 
 
 def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
