@@ -143,10 +143,11 @@ def _mm(a, b):
 def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
                     tr, ti, or_ref, oi_ref):
     _, _, bw = xr_ref.shape
-    # twiddle arrives TRANSPOSED (n2, n1) and block-sliced on its sublane
-    # axis (lane-axis dynamic slices need 128 alignment on TPU)
-    twr = tr[:].T[:, :, None]
-    twi = ti[:].T[:, :, None]
+    # twiddle arrives PRE-BLOCKED host-side as (n2//bj, n1, bj) so the
+    # kernel reads its (n1, bj) slice directly — the old (n2, n1) layout
+    # (sublane-sliced for alignment) needed an in-kernel transpose
+    twr = tr[:][0][:, :, None]
+    twi = ti[:][0][:, :, None]
     if twiddle_first:
         # inverse: twiddle on the incoming [k1, j2] indices, then contract k1
         xr3 = xr_ref[:].astype(jnp.float32)
@@ -200,10 +201,12 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
                             memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((bj, n1), lambda j, k: (j, 0),
+    tw_spec = pl.BlockSpec((1, n1, bj), lambda j, k: (j, 0, 0),
                            memory_space=pltpu.VMEM)
-    TrT = jnp.swapaxes(Tr, 0, 1)  # (n2, n1)
-    TiT = jnp.swapaxes(Ti, 0, 1)
+    # twiddle pre-blocked: stack of (n1, bj) tiles, one per j-block
+    # (trace-time jnp reshape/transpose — loop-invariant, hoisted by XLA)
+    Trb = jnp.transpose(Tr.reshape(n1, n2 // bj, bj), (1, 0, 2))
+    Tib = jnp.transpose(Ti.reshape(n1, n2 // bj, bj), (1, 0, 2))
     out_dt = _IO_DTYPE
     return pl.pallas_call(
         partial(_h_passA_kernel, n1, bj, scale if inverse else 1.0, inverse),
@@ -213,7 +216,7 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
         out_shape=(jax.ShapeDtypeStruct((n1, n2, w), out_dt),
                    jax.ShapeDtypeStruct((n1, n2, w), out_dt)),
         interpret=_INTERPRET,
-    )(xr, xi, F1r, F1i, TrT, TiT)
+    )(xr, xi, F1r, F1i, Trb, Tib)
 
 
 # ---------------------------------------------------------------------------
