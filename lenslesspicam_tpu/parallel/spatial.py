@@ -215,35 +215,34 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
             return filtered_synthesis_sharded(v, filt, ph, pw, n_shards)
 
         # derive zeros from data_l so the carry is marked device-varying
-        # over 'sp' from iteration 0 (shard_map type system)
+        # over 'sp' from iteration 0 (shard_map type system).
+        # Carry-rebuild state (recon/admm_split.run_split_fused): the
+        # accumulating duals are rebuilt each iteration from one
+        # identity each — xi = mu1*fwd - v, rho = mu3*image - b,
+        # eta = mu2*psi - a — halving carried state memory, which is
+        # exactly what the spatial sharding exists to economize.
         zeros = data_l * 0.0
         zeros2 = zeros[..., None] * jnp.zeros((2,), dtype)
-        state = dict(
-            image=zeros, X=zeros, W=zeros, xi=zeros, rho=zeros,
-            U=zeros2, eta=zeros2, forward_out=zeros, psi_out=zeros2,
-        )
+        state = dict(image=zeros, forward_out=zeros, v=zeros, b=zeros,
+                     a=zeros2)
 
         def body(_, s):
-            U = soft_thresh(s["psi_out"] + s["eta"] / mu2, tau / mu2)
-            X = Xdiv_l * (s["xi"] + mu1 * s["forward_out"] + data_l)
-            W = jnp.maximum(s["rho"] / mu3 + s["image"], 0.0)
-            rk = (
-                (mu3 * W - s["rho"])
-                + finite_diff_adj_sharded(mu2 * U - s["eta"])
-                + conv_apply(mu1 * X - s["xi"], jnp.conj(H_l))
-            )
+            psi = finite_diff_sharded(s["image"])
+            eta_eff = mu2 * psi - s["a"]
+            U = soft_thresh(psi + eta_eff / mu2, tau / mu2)
+            a = mu2 * U - eta_eff
+            xi = mu1 * s["forward_out"] - s["v"]
+            X = Xdiv_l * (xi + mu1 * s["forward_out"] + data_l)
+            v = mu1 * X - xi
+            rho = mu3 * s["image"] - s["b"]
+            W = jnp.maximum(rho / mu3 + s["image"], 0.0)
+            b = mu3 * W - rho
+            rk = b + finite_diff_adj_sharded(a) \
+                 + conv_apply(v, jnp.conj(H_l))
             image = conv_apply(rk, R_l)
             forward_out = conv_apply(image, H_l)
-            psi_out = finite_diff_sharded(image)
-            return dict(
-                image=image, X=X, W=W,
-                xi=s["xi"] + mu1 * (forward_out - X),
-                rho=s["rho"] + mu3 * (image - W),
-                U=U,
-                eta=s["eta"] + mu2 * (psi_out - U),
-                forward_out=forward_out,
-                psi_out=psi_out,
-            )
+            return dict(image=image, forward_out=forward_out, v=v, b=b,
+                        a=a)
 
         state = jax.lax.fori_loop(0, n_iter, body, state)
         return jnp.maximum(state["image"], 0.0)
@@ -426,22 +425,29 @@ def _build_pallas_run(mesh: Mesh, ph: int, params: ADMMParams, n_iter: int):
             last = _ppermute_shift(x[..., -1:, :], forward=True)
             return jnp.concatenate([last, x[..., :-1, :]], axis=-2)
 
+        # carry-rebuild state (see spatial_sharded_admm)
         zeros = data_l * 0.0
-        state = dict(image=zeros, xi=zeros, rho=zeros,
-                     eta0=zeros, eta1=zeros,
-                     forward_out=zeros, psi0=zeros, psi1=zeros)
+        state = dict(image=zeros, forward_out=zeros, v=zeros, b=zeros,
+                     a0=zeros, a1=zeros)
 
         def body(_, s):
-            U0 = soft_thresh(s["psi0"] + s["eta0"] / mu2, tau / mu2)
-            U1 = soft_thresh(s["psi1"] + s["eta1"] / mu2, tau / mu2)
-            X = Xdiv_l * (s["xi"] + mu1 * s["forward_out"] + data_l)
-            W = jnp.maximum(s["rho"] / mu3 + s["image"], 0.0)
-            u0 = mu2 * U0 - s["eta0"]
-            u1 = mu2 * U1 - s["eta1"]
-            rk = ((mu3 * W - s["rho"])
-                  + (roll_rows(u0, up=True) - u0)
-                  + (jnp.roll(u1, -1, axis=-1) - u1))
-            v = mu1 * X - s["xi"]
+            psi0 = roll_rows(s["image"], up=False) - s["image"]
+            psi1 = jnp.roll(s["image"], 1, axis=-1) - s["image"]
+            eta0_eff = mu2 * psi0 - s["a0"]
+            eta1_eff = mu2 * psi1 - s["a1"]
+            U0 = soft_thresh(psi0 + eta0_eff / mu2, tau / mu2)
+            U1 = soft_thresh(psi1 + eta1_eff / mu2, tau / mu2)
+            a0 = mu2 * U0 - eta0_eff
+            a1 = mu2 * U1 - eta1_eff
+            xi = mu1 * s["forward_out"] - s["v"]
+            X = Xdiv_l * (xi + mu1 * s["forward_out"] + data_l)
+            v = mu1 * X - xi
+            rho = mu3 * s["image"] - s["b"]
+            W = jnp.maximum(rho / mu3 + s["image"], 0.0)
+            b = mu3 * W - rho
+            rk = (b
+                  + (roll_rows(a0, up=True) - a0)
+                  + (jnp.roll(a1, -1, axis=-1) - a1))
 
             ar, ai = fwd2(rk)
             br, bi = fwd2(v)
@@ -450,16 +456,8 @@ def _build_pallas_run(mesh: Mesh, ph: int, params: ADMMParams, n_iter: int):
             image = inv2(fr, fi)
             forward_out = inv2(fr * Hr_l - fi * Hi_l,
                                fr * Hi_l + fi * Hr_l)
-            psi0 = roll_rows(image, up=False) - image
-            psi1 = jnp.roll(image, 1, axis=-1) - image
-            return dict(
-                image=image,
-                xi=s["xi"] + mu1 * (forward_out - X),
-                rho=s["rho"] + mu3 * (image - W),
-                eta0=s["eta0"] + mu2 * (psi0 - U0),
-                eta1=s["eta1"] + mu2 * (psi1 - U1),
-                forward_out=forward_out, psi0=psi0, psi1=psi1,
-            )
+            return dict(image=image, forward_out=forward_out, v=v, b=b,
+                        a0=a0, a1=a1)
 
         state = jax.lax.fori_loop(0, n_iter, body, state)
         return jnp.maximum(state["image"], 0.0)
