@@ -57,15 +57,17 @@ class ADMMPrecomp(NamedTuple):
 
 
 class ADMMState(NamedTuple):
+    """Carry-rebuild ADMM state: the accumulating duals are never
+    carried — each is rebuilt in :func:`step` from one identity
+    (xi = mu1*fwd - v with v = mu1*X - xi; rho = mu3*image - b with
+    b = mu3*W - rho; eta = mu2*psi - a with a = mu2*U - eta), which
+    halves the live loop-carry memory at identical algebra."""
+
     image_est: jax.Array
-    X: jax.Array
-    U: jax.Array
-    W: jax.Array
-    xi: jax.Array
-    eta: jax.Array
-    rho: jax.Array
     forward_out: jax.Array
-    psi_out: jax.Array
+    v: jax.Array          # mu1*X - xi of the previous iteration
+    b: jax.Array          # mu3*W - rho of the previous iteration
+    a: jax.Array          # mu2*U - eta of the previous iteration (2ch)
 
 
 def make_convolver(psf, dtype=jnp.float32, pad_policy: str = "ref") -> FFTConvolver:
@@ -90,29 +92,33 @@ def precompute(conv: FFTConvolver, data, params: ADMMParams) -> ADMMPrecomp:
 
 
 def init_state(conv: FFTConvolver, batch_size: int = 1, initial_est=None) -> ADMMState:
-    """Zero-initialized state on the padded grid (admm.py:150-218)."""
+    """Zero-dual state on the padded grid (admm.py:150-218).  The carry
+    initializers encode zero duals: with xi = eta = rho = 0 the rebuild
+    identities give v = mu1*fwd(img0), b = mu3*img0, a = mu2*psi(img0)
+    (all zero for a zero initial estimate)."""
     dtype = conv.H.real.dtype
     shape = (batch_size,) + conv.padded_shape
     if initial_est is not None:
         image = jnp.broadcast_to(jnp.asarray(initial_est, dtype), shape)
         forward_out = conv.convolve(image)
-        psi_out = finite_diff(image)
+        psi0 = finite_diff(image)
     else:
         image = jnp.zeros(shape, dtype)
         forward_out = jnp.zeros(shape, dtype)
-        psi_out = jnp.zeros(shape + (2,), dtype)
-    zeros = jnp.zeros(shape, dtype)
+        psi0 = jnp.zeros(shape + (2,), dtype)
     return ADMMState(
         image_est=image,
-        X=zeros,
-        U=jnp.zeros(shape + (2,), dtype),
-        W=zeros,
-        xi=zeros,
-        eta=jnp.zeros(shape + (2,), dtype),
-        rho=zeros,
         forward_out=forward_out,
-        psi_out=psi_out,
+        v=forward_out,           # scaled by mu1 in init_carries
+        b=image,                 # scaled by mu3 in init_carries
+        a=psi0,                  # scaled by mu2 in init_carries
     )
+
+
+def init_carries(state: ADMMState, params: ADMMParams) -> ADMMState:
+    """Scale the raw init planes into the zero-dual carries."""
+    return state._replace(v=params.mu1 * state.v, b=params.mu3 * state.b,
+                          a=params.mu2 * state.a)
 
 
 def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMParams) -> ADMMState:
@@ -130,29 +136,32 @@ def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMPar
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
     ph, pw = conv.padded_spatial_shape
 
+    # rebuild the duals from the carries (one identity each)
+    psi = finite_diff(state.image_est)
+    eta_eff = mu2 * psi - state.a
+    xi = mu1 * state.forward_out - state.v
+    rho = mu3 * state.image_est - state.b
+
     # U update: TV prox (admm.py:232-247)
-    U = soft_thresh(state.psi_out + state.eta / mu2, tau / mu2)
+    U = soft_thresh(psi + eta_eff / mu2, tau / mu2)
+    a = mu2 * U - eta_eff
     # X update (admm.py:249-254)
-    X = pre.X_divmat * (state.xi + mu1 * state.forward_out + pre.data_pad)
+    X = pre.X_divmat * (xi + mu1 * state.forward_out + pre.data_pad)
+    v = mu1 * X - xi
     # W update: non-negativity (admm.py:256-263)
-    W = jnp.maximum(state.rho / mu3 + state.image_est, 0.0)
+    W = jnp.maximum(rho / mu3 + state.image_est, 0.0)
+    b = mu3 * W - rho
     # image update (admm.py:265-294), deconvolve folded into the spectrum
-    rk_spatial = (mu3 * W - state.rho) + finite_diff_adj(mu2 * U - state.eta)
+    rk_spatial = b + finite_diff_adj(a)
     F_rk = (
         jnp.fft.rfft2(rk_spatial, axes=(-3, -2))
-        + jnp.conj(conv.H) * jnp.fft.rfft2(mu1 * X - state.xi, axes=(-3, -2))
+        + jnp.conj(conv.H) * jnp.fft.rfft2(v, axes=(-3, -2))
     )
     F_image = pre.R_divmat * F_rk
     image_est = jnp.fft.irfft2(F_image, s=(ph, pw), axes=(-3, -2))
-
     forward_out = jnp.fft.irfft2(F_image * conv.H, s=(ph, pw), axes=(-3, -2))
-    psi_out = finite_diff(image_est)
 
-    xi = state.xi + mu1 * (forward_out - X)
-    eta = state.eta + mu2 * (psi_out - U)
-    rho = state.rho + mu3 * (image_est - W)
-
-    return ADMMState(image_est, X, U, W, xi, eta, rho, forward_out, psi_out)
+    return ADMMState(image_est, forward_out, v, b, a)
 
 
 def form_image(state: ADMMState, conv: FFTConvolver) -> jax.Array:
@@ -174,7 +183,7 @@ def run(
     """
     pre = precompute(conv, data, params)
     batch = pre.data_pad.shape[0]
-    state = init_state(conv, batch, initial_est)
+    state = init_carries(init_state(conv, batch, initial_est), params)
 
     def body(_, s):
         return step(s, conv, pre, params)
