@@ -102,3 +102,46 @@ def test_admm_batched_consistency():
     for b in range(3):
         single = np.asarray(jadmm.run_jit(conv, batch[b], n_iter=5))
         np.testing.assert_allclose(full[b], single[0], atol=1e-5)
+
+
+def test_admm_carry_rebuild_warm_start_zero_duals():
+    """One carry-rebuild step from a nonzero initial estimate must equal
+    the textbook update with explicit zero duals (recon/admm.py carry
+    initializers encode xi = eta = rho = 0)."""
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.ops.tv import (finite_diff, finite_diff_adj,
+                                          soft_thresh)
+    from lenslesspicam_tpu.recon import admm
+
+    rng = np.random.RandomState(3)
+    psf = rng.rand(1, 24, 32, 1).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    data = rng.rand(1, 1, 24, 32, 1).astype(np.float32)
+    conv = admm.make_convolver(psf)
+    init = np.asarray(conv.pad_input(
+        jnp.asarray(rng.rand(1, 1, 24, 32, 1), jnp.float32)))[0]
+
+    params = admm.ADMMParams()
+    pre = admm.precompute(conv, jnp.asarray(data), params)
+    state = admm.init_carries(admm.init_state(conv, 1, jnp.asarray(init)),
+                              params)
+    out = admm.step(state, conv, pre, params)
+
+    # textbook update with explicit zero duals
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+    ph, pw = conv.padded_spatial_shape
+    img0 = jnp.broadcast_to(jnp.asarray(init), (1,) + conv.padded_shape)
+    fwd0 = conv.convolve(img0)
+    psi0 = finite_diff(img0)
+    U = soft_thresh(psi0, tau / mu2)
+    X = pre.X_divmat * (mu1 * fwd0 + pre.data_pad)
+    W = jnp.maximum(img0, 0.0)
+    rk = (mu3 * W) + finite_diff_adj(mu2 * U)
+    F_rk = (jnp.fft.rfft2(rk, axes=(-3, -2))
+            + jnp.conj(conv.H) * jnp.fft.rfft2(mu1 * X, axes=(-3, -2)))
+    F_img = pre.R_divmat * F_rk
+    img_ref = jnp.fft.irfft2(F_img, s=(ph, pw), axes=(-3, -2))
+
+    np.testing.assert_allclose(np.asarray(out.image_est),
+                               np.asarray(img_ref), rtol=1e-5, atol=1e-6)
