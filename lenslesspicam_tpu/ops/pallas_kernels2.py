@@ -1122,20 +1122,6 @@ def irfft_w(zr, zi, block_rows=None, out_dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def _split_roll_p1(x, mh):
-    """roll(x, +1) along natural W lanes, in split layout."""
-    ev, od = x[:, :mh], x[:, mh:]
-    return jnp.concatenate(
-        [jnp.concatenate([od[:, -1:], od[:, :-1]], axis=1), ev], axis=1)
-
-
-def _split_roll_m1(x, mh):
-    """roll(x, -1) along natural W lanes, in split layout."""
-    ev, od = x[:, :mh], x[:, mh:]
-    return jnp.concatenate(
-        [od, jnp.concatenate([ev[:, 1:], ev[:, :1]], axis=1)], axis=1)
-
-
 def _split_roll_p1_j2m(x, mh, n1h):
     """roll(x, +1) along natural W, split layout with j2-major halves."""
     ev, od = x[:, :mh], x[:, mh:]

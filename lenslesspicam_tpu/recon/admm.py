@@ -91,11 +91,12 @@ def precompute(conv: FFTConvolver, data, params: ADMMParams) -> ADMMPrecomp:
     return ADMMPrecomp(R_divmat.astype(dtype), X_divmat.astype(dtype), data_pad)
 
 
-def init_state(conv: FFTConvolver, batch_size: int = 1, initial_est=None) -> ADMMState:
+def init_state(conv: FFTConvolver, batch_size: int = 1, initial_est=None,
+               params: ADMMParams = ADMMParams()) -> ADMMState:
     """Zero-dual state on the padded grid (admm.py:150-218).  The carry
     initializers encode zero duals: with xi = eta = rho = 0 the rebuild
     identities give v = mu1*fwd(img0), b = mu3*img0, a = mu2*psi(img0)
-    (all zero for a zero initial estimate)."""
+    (all zero for a zero initial estimate) — ready for :func:`step`."""
     dtype = conv.H.real.dtype
     shape = (batch_size,) + conv.padded_shape
     if initial_est is not None:
@@ -109,16 +110,10 @@ def init_state(conv: FFTConvolver, batch_size: int = 1, initial_est=None) -> ADM
     return ADMMState(
         image_est=image,
         forward_out=forward_out,
-        v=forward_out,           # scaled by mu1 in init_carries
-        b=image,                 # scaled by mu3 in init_carries
-        a=psi0,                  # scaled by mu2 in init_carries
+        v=params.mu1 * forward_out,
+        b=params.mu3 * image,
+        a=params.mu2 * psi0,
     )
-
-
-def init_carries(state: ADMMState, params: ADMMParams) -> ADMMState:
-    """Scale the raw init planes into the zero-dual carries."""
-    return state._replace(v=params.mu1 * state.v, b=params.mu3 * state.b,
-                          a=params.mu2 * state.a)
 
 
 def step(state: ADMMState, conv: FFTConvolver, pre: ADMMPrecomp, params: ADMMParams) -> ADMMState:
@@ -183,7 +178,7 @@ def run(
     """
     pre = precompute(conv, data, params)
     batch = pre.data_pad.shape[0]
-    state = init_carries(init_state(conv, batch, initial_est), params)
+    state = init_state(conv, batch, initial_est, params)
 
     def body(_, s):
         return step(s, conv, pre, params)

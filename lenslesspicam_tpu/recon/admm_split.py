@@ -298,9 +298,9 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     # split halves ride j2-major inside the loop (see run_split_fused)
     mh2 = pw // 2
     perm_h = pk2.j2major_perm(mh2)
-    perm_s = jnp.asarray(np.concatenate([perm_h, perm_h + mh2]))
-    inv_perm_s = jnp.asarray(np.argsort(np.concatenate([perm_h,
-                                                        perm_h + mh2])))
+    perm_s_np = np.concatenate([perm_h, perm_h + mh2])
+    perm_s = jnp.asarray(perm_s_np)
+    inv_perm_s = jnp.asarray(np.argsort(perm_s_np))
     mask_c = jnp.asarray(pre.mask, io)[:, perm_s]
     dp_c = jnp.asarray(pre.data_pad, io)[:, perm_s]
     zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)

@@ -500,15 +500,39 @@ class Trainer:
                 metrics[f"{name}_{k}"] = v
         return metrics
 
-    def train(self, verbose: bool = True) -> dict:
+    def train(self, verbose: bool = True, start_epoch: int = 0) -> dict:
         """Full loop: eval at epoch 0, then train/eval per epoch with the
         processor add/freeze/unfreeze schedule and best-model tracking
-        (utils.py:1356-1419)."""
-        metrics0 = self.evaluate()
-        self.metrics_log[0] = {"eval": metrics0}
-        self._maybe_update_best(metrics0)
+        (utils.py:1356-1419).  ``start_epoch`` (e.g. from :meth:`resume`)
+        skips completed epochs AND replays the processor schedule up to
+        that point so delayed/frozen processors resume in the right
+        state."""
+        if start_epoch == 0:
+            metrics0 = self.evaluate()
+            self.metrics_log[0] = {"eval": metrics0}
+            self._maybe_update_best(metrics0)
         cfg = self.config
-        for epoch in range(1, cfg.epochs + 1):
+        if start_epoch:
+            # replay schedule flags for the skipped epochs
+            changed = False
+            for e in range(start_epoch):
+                if cfg.pre_process_delay is not None and e == cfg.pre_process_delay:
+                    self._skip_pre, changed = False, True
+                if cfg.post_process_delay is not None and e == cfg.post_process_delay:
+                    self._skip_post, changed = False, True
+                frozen = set(self._frozen)
+                for name, fz, uf in (("pre_block", cfg.pre_process_freeze,
+                                      cfg.pre_process_unfreeze),
+                                     ("post_block", cfg.post_process_freeze,
+                                      cfg.post_process_unfreeze)):
+                    if fz is not None and e == fz:
+                        frozen.add(name); changed = True
+                    if uf is not None and e == uf:
+                        frozen.discard(name); changed = True
+                self._frozen = frozenset(frozen)
+            if changed:
+                self._rebuild_step()
+        for epoch in range(start_epoch + 1, cfg.epochs + 1):
             # schedule epochs are 0-based like the reference's loop index
             e = epoch - 1
             changed = False

@@ -109,7 +109,7 @@ def main(config):
         kwargs = {}
         if config.dataset.get("random_flip"):
             kwargs["random_flip"] = True
-        if config.dataset.get("input_snr"):
+        if config.dataset.get("input_snr") is not None:
             kwargs["input_snr"] = float(config.dataset.input_snr)
         ds = get_dataset(config.dataset.name, split="train",
                          downsample=config.dataset.downsample, **kwargs)
@@ -153,10 +153,17 @@ def main(config):
     )
     trainer = Trainer(model, psf, lambda: iter(train_batches), test_batches,
                       tcfg, mask=mask, seed=config.seed)
+    start = 0
     if tr.get("resume"):
-        start = trainer.resume()
+        # resume=true needs an explicit prior checkpoint dir (each run
+        # gets a fresh timestamped run_dir): training.resume=<path>
+        resume_dir = tr.resume if isinstance(tr.resume, str) else None
+        assert resume_dir and os.path.isdir(resume_dir), (
+            "training.resume must be the checkpoints dir of a previous "
+            "run (e.g. outputs/<date>/<time>/checkpoints)")
+        start = trainer.resume(resume_dir)
         print(f"resumed at epoch {start}")
-    log = trainer.train()
+    log = trainer.train(start_epoch=start)
     print(f"best {tcfg.metric_for_best}: {trainer.best_metric}")
     return log
 

@@ -124,8 +124,7 @@ def test_admm_carry_rebuild_warm_start_zero_duals():
 
     params = admm.ADMMParams()
     pre = admm.precompute(conv, jnp.asarray(data), params)
-    state = admm.init_carries(admm.init_state(conv, 1, jnp.asarray(init)),
-                              params)
+    state = admm.init_state(conv, 1, jnp.asarray(init), params)
     out = admm.step(state, conv, pre, params)
 
     # textbook update with explicit zero duals
