@@ -266,3 +266,29 @@ def test_pretrained_helper_flow(tmp_path):
     crop = P.alignment_crop(np.zeros((32, 40, 3)),
                             {"top_left": (2, 2), "height": 20, "width": 24})
     assert crop.shape == (20, 24, 3)
+
+
+def test_train_script_resume(tmp_path):
+    """training.resume=<prior checkpoints dir> restores and continues
+    from the stored epoch (start_epoch plumbed through Trainer.train)."""
+    res = _run(
+        ["scripts/recon/train_learning_based.py", "dataset.n_files=8",
+         "dataset.batch_size=2", "training.epoch=1",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    ckpt = None
+    for root, dirs, _ in os.walk(f"{tmp_path}/out"):
+        if "checkpoints" in dirs:
+            ckpt = os.path.join(root, "checkpoints")
+    assert ckpt, "no checkpoints dir written"
+
+    res = _run(
+        ["scripts/recon/train_learning_based.py", "dataset.n_files=8",
+         "dataset.batch_size=2", "training.epoch=2",
+         f"training.resume={ckpt}", f"output_dir={tmp_path}/out2"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "resumed at epoch 1" in res.stdout
