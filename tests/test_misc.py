@@ -1,5 +1,7 @@
 """Aperture, plot, metric API, remote/fabrication gating."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -137,3 +139,45 @@ def test_plot_smoke(tmp_path):
     with open(d / "metrics.json", "w") as f:
         json.dump({"0": {"eval": {"PSNR": 10}}, "1": {"eval": {"PSNR": 12}}}, f)
     P.compare_models([str(d)])
+
+
+def test_bench_baseline_and_roofline_model():
+    """bench._baseline pixel scaling + the roofline traffic model tracks
+    the declared dtype knobs."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # linear pixel scaling of the A5000 reference
+    b12 = bench._baseline((3040, 4056))
+    b3 = bench._baseline((1520, 2028))
+    np.testing.assert_allclose(b3 / b12, 4.0, rtol=1e-6)
+
+    from lenslesspicam_tpu.utils.tracing import fused_admm_bytes_per_iter
+
+    shape = (1, 6144, 8192)
+    full_f32 = fused_admm_bytes_per_iter(shape, io_bytes=4,
+                                         half_spectrum=False)
+    full_bf16 = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                          half_spectrum=False)
+    half_bf16 = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                          half_spectrum=True)
+    assert full_bf16 < full_f32
+    assert half_bf16 < full_bf16
+    # bf16 carries shrink it further
+    old = os.environ.get("LPT_CARRY_IO")
+    try:
+        os.environ["LPT_CARRY_IO"] = "bf16"
+        half_bf16_c = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                                half_spectrum=True)
+    finally:
+        if old is None:
+            os.environ.pop("LPT_CARRY_IO", None)
+        else:
+            os.environ["LPT_CARRY_IO"] = old
+    assert half_bf16_c < half_bf16
