@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from ..ops.fft_conv import FFTConvolver, filtered_synthesis
@@ -185,6 +186,28 @@ def run(
 
     state = jax.lax.fori_loop(0, n_iter, body, state)
     return form_image(state, conv)
+
+
+def run_state(conv: FFTConvolver, data, params: ADMMParams = ADMMParams(),
+              n_iter=100, state: ADMMState | None = None):
+    """Chunk-resumable solve: run ``n_iter`` steps from ``state`` (or a
+    fresh zero-dual state) and return ``(image, state)`` — the exact-
+    continuation backbone of ``apply(disp_iter=...)`` progress display
+    (reference recon.py apply's disp_iter loop)."""
+    pre = precompute(conv, data, params)
+    if state is None:
+        state = init_state(conv, pre.data_pad.shape[0], None, params)
+
+    def body(_, s):
+        return step(s, conv, pre, params)
+
+    state = jax.lax.fori_loop(0, n_iter, body, state)
+    return form_image(state, conv), state
+
+
+@partial(jax.jit, static_argnames=("params",))
+def run_state_jit(conv, data, params, n_iter, state):
+    return run_state(conv, data, params, n_iter, state)
 
 
 def run_pnp(

@@ -77,9 +77,15 @@ class ReconstructionAlgorithm(abc.ABC):
             image_est = image_est[None]
         self._initial_est = image_est
 
-    def apply(self, n_iter=None, background=None, **_ignored):
+    def apply(self, n_iter=None, background=None, disp_iter=None,
+              plot=False, save=False, gamma=None, callback=None, **_ignored):
         """Run reconstruction; returns ``(depth, H, W, C)`` like the
-        reference (recon.py:594 drops the batch dim)."""
+        reference (recon.py:594 drops the batch dim).
+
+        ``disp_iter`` chunks the solve with EXACT state continuation and
+        after every chunk calls ``callback(image, iteration)`` and/or
+        plots / saves the intermediate image (the reference's progress
+        display, recon.py:500-560)."""
         assert self._data is not None, "Must set data with `set_data()`"
         assert self._data.shape[0] == 1, "apply() processes a single image; use batch_apply()"
         data = self._data
@@ -87,7 +93,45 @@ class ReconstructionAlgorithm(abc.ABC):
             data = jnp.maximum(data - jnp.asarray(background, self._dtype), 0.0)
         if n_iter is None:
             n_iter = self._n_iter
-        return self._run(data, n_iter)[0]
+        if not disp_iter:
+            return self._run(data, n_iter)[0]
+
+        disp_iter = int(disp_iter)
+        state = None
+        done = 0
+        image = None
+        while done < n_iter:
+            k = min(disp_iter, n_iter - done)
+            image, state = self._run_chunk(data, k, state)
+            done += k
+            img0 = image[0]
+            if callback is not None:
+                callback(img0, done)
+            if plot or save:
+                self._display(img0, done, plot=plot, save=save, gamma=gamma)
+        return image[0]
+
+    def _run_chunk(self, data, k, state):
+        """(image, state) after k more iterations from ``state`` (None =
+        fresh).  Subclasses with resumable solvers override."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support disp_iter chunking")
+
+    def _display(self, img, iteration, plot=False, save=False, gamma=None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..utils.plot import plot_image
+
+        ax = plot_image(np.asarray(img), gamma=gamma)
+        ax.set_title(f"iteration {iteration}")
+        if save:
+            fn = save if isinstance(save, str) else "."
+            plt.savefig(f"{fn}/recon_iter{iteration}.png"
+                        if not str(fn).endswith(".png") else fn)
+        plt.close(ax.figure)
 
     def batch_apply(self, data, n_iter=None):
         """Batched reconstruction ``(B, D, H, W, C) -> (B, D, H, W, C)`` —
@@ -136,6 +180,16 @@ class ADMM(ReconstructionAlgorithm):
         return _admm.run_jit(self._convolver, data, self._params,
                              jnp.asarray(n_iter), self._initial_est)
 
+    def _run_chunk(self, data, k, state):
+        if state is None and self._initial_est is not None:
+            state = _admm.init_state(self._convolver, data.shape[0],
+                                     self._convolver.pad_input(
+                                         jnp.asarray(self._initial_est))[0]
+                                     if self._initial_est.ndim == 5
+                                     else self._initial_est, self._params)
+        return _admm.run_state_jit(self._convolver, data, self._params,
+                                   jnp.asarray(k), state)
+
 
 class _GDBase(ReconstructionAlgorithm):
     _method = "vanilla"
@@ -157,6 +211,15 @@ class _GDBase(ReconstructionAlgorithm):
     def _run(self, data, n_iter):
         return self._jit_run(self._convolver, self._psf, data,
                              jnp.asarray(n_iter), self._initial_est)
+
+    def _run_chunk(self, data, k, state):
+        if not hasattr(self, "_jit_chunk"):
+            self._jit_chunk = jax.jit(
+                lambda conv, psf, data, n, st: _gd.run(
+                    conv, psf, data, n, self._method, self._config,
+                    self._initial_est, initial_state=st, return_state=True))
+        return self._jit_chunk(self._convolver, self._psf, data,
+                               jnp.asarray(k), state)
 
 
 class GradientDescent(_GDBase):

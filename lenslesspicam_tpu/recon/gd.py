@@ -74,12 +74,15 @@ def run(
     config: GDConfig = GDConfig(),
     initial_est=None,
     proj=lambda x: jnp.maximum(x, 0.0),
+    initial_state=None,
+    return_state: bool = False,
 ) -> jax.Array:
     """Projected GD family; returns ``(batch, depth, H, W, C)``.
 
     method in {"vanilla", "nesterov", "fista"} (gd.py GradientDescentUpdate).
     ``n_iter`` may be traced (single executable across iteration sweeps).
-    """
+    ``initial_state``/``return_state`` support exact chunked solving
+    (apply(disp_iter=...) progress display continues the full carry)."""
     dtype = conv.H.real.dtype
     data = _promote(data, dtype)
     batch = data.shape[0]
@@ -94,7 +97,9 @@ def run(
         def body(_, im):
             return proj(im - alpha * _grad(conv, im, data))
 
-        return jax.lax.fori_loop(0, n_iter, body, image)
+        carry = image if initial_state is None else initial_state
+        carry = jax.lax.fori_loop(0, n_iter, body, carry)
+        return (carry, carry) if return_state else carry
 
     if method == "nesterov":
         mu = config.mu
@@ -105,8 +110,10 @@ def run(
             im = proj(im - mu * p + (1 + mu) * p_new)
             return (im, p_new)
 
-        image, _ = jax.lax.fori_loop(0, n_iter, body, (image, jnp.zeros_like(image)))
-        return image
+        carry = ((image, jnp.zeros_like(image)) if initial_state is None
+                 else initial_state)
+        carry = jax.lax.fori_loop(0, n_iter, body, carry)
+        return (carry[0], carry) if return_state else carry[0]
 
     if method == "fista":
 
@@ -117,12 +124,12 @@ def run(
             im_new = xk_new + (tk - 1.0) / tk_new * (xk_new - xk)
             return (im_new, xk_new, tk_new)
 
-        image, xk, _ = jax.lax.fori_loop(
-            0, n_iter, body, (image, image, jnp.asarray(config.tk, dtype))
-        )
+        carry = ((image, image, jnp.asarray(config.tk, dtype))
+                 if initial_state is None else initial_state)
+        carry = jax.lax.fori_loop(0, n_iter, body, carry)
         # the reference returns proj(image_est) as the viewable image
         # (gd.py:136-140 _form_image applied in apply())
-        return proj(image)
+        return (proj(carry[0]), carry) if return_state else proj(carry[0])
 
     raise ValueError(f"unknown method: {method!r}")
 

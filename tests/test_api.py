@@ -81,3 +81,29 @@ def test_initial_estimate_warm_start():
     out = np.asarray(warm.apply(n_iter=3))
     assert out.shape == base.shape
     assert not np.allclose(out, base)  # different init -> different trajectory
+
+
+def test_apply_disp_iter_exact_continuation():
+    """apply(disp_iter=k) chunks with EXACT state continuation: the
+    chunked result equals a single run, with callbacks at each chunk
+    (reference recon.py apply's progress display)."""
+    import lenslesspicam_tpu as lpt
+
+    rng = np.random.RandomState(0)
+    psf = rng.rand(1, 32, 40, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    data = rng.rand(1, 1, 32, 40, 3).astype(np.float32)
+
+    for cls in (lpt.ADMM, lpt.FISTA, lpt.GradientDescent,
+                lpt.NesterovGradientDescent):
+        r = cls(psf)
+        r.set_data(data)
+        full = np.asarray(r.apply(n_iter=12))
+        seen = []
+        r2 = cls(psf)
+        r2.set_data(data)
+        chunked = np.asarray(r2.apply(
+            n_iter=12, disp_iter=5, callback=lambda img, it: seen.append(it)))
+        err = np.abs(full - chunked).max() / max(np.abs(full).max(), 1e-9)
+        assert err < 1e-5, (cls.__name__, err)
+        assert seen == [5, 10, 12]
