@@ -88,37 +88,38 @@ class UnrolledADMM(nn.Module):
 
         shape = (batch,) + conv.padded_shape
         zeros = jnp.zeros(shape, dtype)
+        # carry-rebuild state (recon/admm.py ADMMState): the duals are
+        # rebuilt per step from {v, b, a}; with PER-ITERATION learnable
+        # mus the identities use the PREVIOUS step's mus, carried as
+        # three scalars — shrinks the scan carry (and its remat/backward
+        # footprint) from 12 to 7 plane-equivalents.
         state = dict(
-            image=zeros, X=zeros, W=zeros, xi=zeros, rho=zeros,
-            U=jnp.zeros(shape + (2,), dtype),
-            eta=jnp.zeros(shape + (2,), dtype),
-            forward_out=zeros,
-            psi_out=jnp.zeros(shape + (2,), dtype),
+            image=zeros, forward_out=zeros, v=zeros, b=zeros,
+            a=jnp.zeros(shape + (2,), dtype),
+            mu_prev=jnp.ones((3,), dtype),  # any value: carries are zero
         )
 
         def step(s, mus):
             mu1, mu2, mu3, tau = mus
+            p1, p2, p3 = s["mu_prev"]
             R_divmat = 1.0 / (mu1 * mag_sq + mu2 * psi_tpsi + mu3)
             X_divmat = 1.0 / (ones_pad + mu1)
-            U = soft_thresh(s["psi_out"] + s["eta"] / mu2, tau / mu2)
-            X = X_divmat * (s["xi"] + mu1 * s["forward_out"] + data_pad)
-            W = jnp.maximum(s["rho"] / mu3 + s["image"], 0.0)
-            rk = (
-                (mu3 * W - s["rho"])
-                + finite_diff_adj(mu2 * U - s["eta"])
-                + conv.deconvolve(mu1 * X - s["xi"])
-            )
+            psi = finite_diff(s["image"])
+            eta = p2 * psi - s["a"]
+            xi = p1 * s["forward_out"] - s["v"]
+            rho = p3 * s["image"] - s["b"]
+            U = soft_thresh(psi + eta / mu2, tau / mu2)
+            a = mu2 * U - eta
+            X = X_divmat * (xi + mu1 * s["forward_out"] + data_pad)
+            v = mu1 * X - xi
+            W = jnp.maximum(rho / mu3 + s["image"], 0.0)
+            b = mu3 * W - rho
+            rk = b + finite_diff_adj(a) + conv.deconvolve(v)
             image = filtered_synthesis(rk, R_divmat, (ph, pw))
             forward_out = conv.convolve(image)
-            psi_out = finite_diff(image)
             s_new = dict(
-                image=image, X=X, W=W,
-                xi=s["xi"] + mu1 * (forward_out - X),
-                rho=s["rho"] + mu3 * (image - W),
-                U=U,
-                eta=s["eta"] + mu2 * (psi_out - U),
-                forward_out=forward_out,
-                psi_out=psi_out,
+                image=image, forward_out=forward_out, v=v, b=b, a=a,
+                mu_prev=jnp.stack([mu1, mu2, mu3]),
             )
             out = jnp.clip(conv.crop(image), 0.0, None) if return_intermediates else None
             return s_new, out
