@@ -241,8 +241,7 @@ def run_pnp(
     else:
         image = jnp.zeros(shape, dtype)
     zeros = jnp.zeros(shape, dtype)
-    state = dict(image=image, X=zeros, U=zeros, W=zeros,
-                 xi=zeros, eta=zeros, rho=zeros,
+    state = dict(image=image, U=zeros, xi=zeros, eta=zeros, rho=zeros,
                  forward_out=conv.convolve(image) if initial_est is not None else zeros)
 
     def body(_, s):
@@ -261,7 +260,7 @@ def run_pnp(
         image = filtered_synthesis(rk, pre.R_divmat, (ph, pw))
         forward_out = conv.convolve(image)
         eta = s["eta"] + mu2 * (image - U) if use_dual else s["eta"]
-        return dict(image=image, X=X, U=U, W=W,
+        return dict(image=image, U=U,
                     xi=s["xi"] + mu1 * (forward_out - X),
                     eta=eta,
                     rho=s["rho"] + mu3 * (image - W),
