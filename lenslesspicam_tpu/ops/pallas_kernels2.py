@@ -608,6 +608,81 @@ def fft_h_combine2(rkr, rki, vr, vi, hr, hi, rr, h):
 # ---------------------------------------------------------------------------
 
 
+def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
+                           hi_ref, rr_ref, f2fr, f2fi, f2ir, f2ii,
+                           a0r_ref, a0i_ref, a1r_ref, a1i_ref):
+    """Forward stage-2 on both planes + spectrum combine + dual inverse
+    stage-2, all in VMEM: the combined spectrum F = R(F2f^T x +
+    conj(H) F2f^T y) and its H-filtered copy never cross HBM."""
+    kb, _, bw = xr_ref.shape
+
+    def stage2(vr, vi, mr, mi):
+        vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * bw)
+        vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * bw)
+        zr = _mm(mr, vr2) - _mm(mi, vi2)
+        zi = _mm(mr, vi2) + _mm(mi, vr2)
+        return (jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1),
+                jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1))
+
+    f32 = jnp.float32
+    ar, ai = stage2(xr_ref[:].astype(f32), xi_ref[:].astype(f32),
+                    f2fr[:], f2fi[:])
+    br, bi = stage2(yr_ref[:].astype(f32), yi_ref[:].astype(f32),
+                    f2fr[:], f2fi[:])
+    hr = hr_ref[:].astype(f32)
+    hi = hi_ref[:].astype(f32)
+    rr = rr_ref[:].astype(f32)
+    fr = rr * (ar + hr * br + hi * bi)
+    fi = rr * (ai + hr * bi - hi * br)
+    f1r = fr * hr - fi * hi
+    f1i = fr * hi + fi * hr
+    a0r, a0i = stage2(fr, fi, f2ir[:], f2ii[:])
+    a1r, a1i = stage2(f1r, f1i, f2ir[:], f2ii[:])
+    a0r_ref[:] = a0r.astype(a0r_ref.dtype)
+    a0i_ref[:] = a0i.astype(a0i_ref.dtype)
+    a1r_ref[:] = a1r.astype(a1r_ref.dtype)
+    a1i_ref[:] = a1i.astype(a1i_ref.dtype)
+
+
+def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
+    """Forward H transforms of both ADMM planes, spectrum combine, AND
+    the dual inverse inner contraction in one kernel chain: 2x forward
+    pass-A, _h_combine_dual_kernel, then the two inverse pass-A calls
+    happen in the caller.  Replaces fft_h_combine2 + h_passB_dual and
+    keeps F (write+read) and the second H read out of HBM — 6 spectrum
+    plane passes saved per iteration."""
+    _, _, _, _, _, _, _, n1, n2 = _mats(h, False)
+    w = vr.shape[-1]
+    xa_r, xa_i = h_passA(rkr.reshape(n1, n2, w), rki.reshape(n1, n2, w),
+                         h, False)
+    ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
+                         h, False)
+    bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
+    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    F2fr, F2fi = _mats(h, False)[2:4]
+    F2ir, F2ii = _mats(h, True)[2:4]
+    shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
+    a0r, a0i, a1r, a1i = pl.pallas_call(
+        partial(_h_combine_dual_kernel, n2),
+        grid=(n1 // kb, w // bw),
+        in_specs=[data_spec] * 7 + [mat_spec] * 4,
+        out_specs=(data_spec,) * 4,
+        out_shape=(shape,) * 4,
+        interpret=_INTERPRET,
+    )(xa_r, xa_i, ya_r, ya_i,
+      hr.reshape(n1, n2, w), hi.reshape(n1, n2, w), rr.reshape(n1, n2, w),
+      F2fr, F2fi, F2ir, F2ii)
+    # inverse pass-A (twiddle + outer contraction) on both planes
+    z0r, z0i = h_passA(a0r, a0i, h, True)
+    z1r, z1i = h_passA(a1r, a1i, h, True)
+    return ((z0r.reshape(h, w), z0i.reshape(h, w)),
+            (z1r.reshape(h, w), z1i.reshape(h, w)))
+
+
 def _h_passB_dual_kernel(n2, yr_ref, yi_ref, hr_ref, hi_ref, f2r, f2i,
                          a0r_ref, a0i_ref, a1r_ref, a1i_ref):
     kb, _, bw = yr_ref.shape

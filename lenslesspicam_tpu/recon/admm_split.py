@@ -183,8 +183,8 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
         (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_carry(
             s["image"], s["fwd"], s["v"], s["b"], s["a0"], s["a1"],
             mask_c, dp_c, mu1, mu2, mu3, tau)
-        fr, fi = pk2.fft_h_combine2(rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
-        (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
+        (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
+            rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
         imgn, fwdn = pk2.ifft_w_dual(a0r, a0i, a1r, a1i)
         return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n)
 
@@ -330,8 +330,8 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         f0 = jnp.fft.ifft(H0 * F0).real
         fM = jnp.fft.ifft(HM * FM).real
 
-        fr, fi = pk2.fft_h_combine2(rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
-        (a0r, a0i), (a1r, a1i) = pk2.ifft_h_dual(fr, fi, Hr_c, Hi_c, ph)
+        (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
+            rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
         imgn, fwdn = pk2.irfft_w_dual(
             a0r, a0i, a1r, a1i,
             zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),

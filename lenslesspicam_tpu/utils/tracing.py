@@ -73,8 +73,9 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
         spectra (4 planes, io) + {v', a0', a1', b'} (f32).  The
         accumulating duals xi/rho/eta/u are rebuilt in-kernel and never
         cross HBM.
-    combine2: 2x passA (8) + shared passB_combine2 (9) spectrum planes
-        (io) — the rk spectrum's stage-B round trip is fused away
+    combine_dual: 2x forward pass-A (8) + one fused stage-2 kernel
+        (7 in, 4 out) + 2x inverse pass-A (8) — the rk spectrum, the
+        combined spectrum F, and the second H read never cross HBM
     dual:    passB 8 + 2x passA 8 spectrum planes (io)
     e2 (pure dual W-inverse): reads 4 spectra, writes image/fwd (io).
 
@@ -84,8 +85,9 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
     a = d * ph * pw * channels            # elements per full plane
     h = 0.5 if half_spectrum else 1.0     # spectrum plane scale
     io_planes = (6 + 4 * h                # e1 reads + spectrum writes
-                 + 17 * h                 # fft_h_combine2 (2x passA + B)
-                 + 16 * h                 # ifft_h_dual
+                 + 8 * h                  # 2x forward pass-A
+                 + 11 * h                 # combine_dual kernel (7 in, 4 out)
+                 + 8 * h                  # 2x inverse pass-A
                  + 4 * h + 2)             # e2 dual inverse
     import os
     carry_bytes = (2 if os.environ.get("LPT_CARRY_IO", "").lower() == "bf16"
