@@ -306,7 +306,15 @@ def j2major_perm(m: int) -> np.ndarray:
     """Lane permutation natural -> j2-major for a length-m W axis:
     lane L = j2*n1 + j1 stores natural index j = j1*n2 + j2.  In this
     layout the inverse W cores' natural (br, j2, j1) output order IS
-    the storage order — no trailing transpose (see _w_inv_core)."""
+    the storage order — no trailing transpose (see _w_inv_core).
+
+    NOT used by the hot pipelines: Mosaic only lowers the in-kernel
+    (br, m) <-> (br, a, b) shape casts when the minor dim b is a
+    multiple of 128, and _factor keeps n2 lane-aligned — so the
+    j2-major views (br, n2, n1) are rejected at the bench shapes
+    (n1 = 64 at W = 8192: "infer-vector-layout: unsupported shape
+    cast").  j2-major is only viable when BOTH factors are multiples
+    of 128 (W >= 16384); kept with its unit test for that case."""
     from .pallas_fft import _factor
 
     n1, n2 = _factor(m)
@@ -794,12 +802,12 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     adj0 = a0[1:] - a0[:-1]
     a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
 
-    # W-axis TV in j2-major lane order (mixed-radix roll)
-    psi1 = j2m_roll(img_c, n1, 1) - img_c
+    # W-axis TV: fully in-block periodic roll along natural lanes
+    psi1 = jnp.concatenate([img_c[:, -1:], img_c[:, :-1]], axis=1) - img_c
     eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
-    adj1 = j2m_roll(a1, n1, -1) - a1
+    adj1 = jnp.concatenate([a1[:, 1:], a1[:, :1]], axis=1) - a1
     a1o_ref[:] = a1.astype(a1o_ref.dtype)
 
     rho = mu3 * img_c - b_ref[:].astype(f32)
@@ -816,10 +824,10 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     vo_ref[:] = v.astype(vo_ref.dtype)
 
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
-    zr, zi = _w_fwd_core(rk, n1, n2, *mats, j2major=True)
+    zr, zi = _w_fwd_core(rk, n1, n2, *mats)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
     rki_ref[:] = zi.astype(rki_ref.dtype)
-    zr, zi = _w_fwd_core(v, n1, n2, *mats, j2major=True)
+    zr, zi = _w_fwd_core(v, n1, n2, *mats)
     vr_ref[:] = zr.astype(vr_ref.dtype)
     vi_ref[:] = zi.astype(vi_ref.dtype)
 
@@ -830,9 +838,9 @@ def _w_inv_dual_kernel(n1, n2, scale,
     f32 = jnp.float32
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
     image = _w_inv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
-                        n1, n2, scale, *mats, j2major=True)
+                        n1, n2, scale, *mats)
     fwd = _w_inv_core(a1r_ref[:].astype(f32), a1i_ref[:].astype(f32),
-                      n1, n2, scale, *mats, j2major=True)
+                      n1, n2, scale, *mats)
     img_ref[:] = image.astype(img_ref.dtype)
     fwd_ref[:] = fwd.astype(fwd_ref.dtype)
 
@@ -1197,16 +1205,20 @@ def irfft_w(zr, zi, block_rows=None, out_dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def _split_roll_p1_j2m(x, mh, n1h):
-    """roll(x, +1) along natural W, split layout with j2-major halves."""
+def _split_roll_p1(x, mh):
+    """roll(x, +1) along natural W, even/odd split lane layout:
+    new_even[j] = old[2j-1] = odd[j-1], new_odd[j] = old[2j] = even[j]."""
     ev, od = x[:, :mh], x[:, mh:]
-    return jnp.concatenate([j2m_roll(od, n1h, 1), ev], axis=1)
+    od_r = jnp.concatenate([od[:, -1:], od[:, :-1]], axis=1)
+    return jnp.concatenate([od_r, ev], axis=1)
 
 
-def _split_roll_m1_j2m(x, mh, n1h):
-    """roll(x, -1) along natural W, split layout with j2-major halves."""
+def _split_roll_m1(x, mh):
+    """roll(x, -1) along natural W, even/odd split lane layout:
+    new_even[j] = old[2j+1] = odd[j], new_odd[j] = old[2j+2] = even[j+1]."""
     ev, od = x[:, :mh], x[:, mh:]
-    return jnp.concatenate([od, j2m_roll(ev, n1h, -1)], axis=1)
+    ev_r = jnp.concatenate([ev[:, 1:], ev[:, :1]], axis=1)
+    return jnp.concatenate([od, ev_r], axis=1)
 
 
 def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
@@ -1233,12 +1245,12 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     adj0 = a0[1:] - a0[:-1]
     a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
 
-    # W-axis TV in split layout, j2-major within halves
-    psi1 = _split_roll_p1_j2m(img_c, mh, n1) - img_c
+    # W-axis TV in the even/odd split lane layout
+    psi1 = _split_roll_p1(img_c, mh) - img_c
     eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
-    adj1 = _split_roll_m1_j2m(a1, mh, n1) - a1
+    adj1 = _split_roll_m1(a1, mh) - a1
     a1o_ref[:] = a1.astype(a1o_ref.dtype)
 
     rho = mu3 * img_c - b_ref[:].astype(f32)
@@ -1254,10 +1266,10 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     v = mu1 * X - xi
     vo_ref[:] = v.astype(vo_ref.dtype)
 
-    zr, zi = _w_rfwd_core(rk, n1, n2, mats, j2major=True)
+    zr, zi = _w_rfwd_core(rk, n1, n2, mats)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
     rki_ref[:] = zi.astype(rki_ref.dtype)
-    zr, zi = _w_rfwd_core(v, n1, n2, mats, j2major=True)
+    zr, zi = _w_rfwd_core(v, n1, n2, mats)
     vr_ref[:] = zr.astype(vr_ref.dtype)
     vi_ref[:] = zi.astype(vi_ref.dtype)
 
@@ -1277,10 +1289,10 @@ def _w_rinv_dual_kernel(n1, n2, scale,
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
-    img_ref[:] = _w_rinv_core(a0r, a0i, n1, n2, scale, mats,
-                              j2major=True).astype(img_ref.dtype)
-    fwd_ref[:] = _w_rinv_core(a1r, a1i, n1, n2, scale, mats,
-                              j2major=True).astype(fwd_ref.dtype)
+    img_ref[:] = _w_rinv_core(a0r, a0i, n1, n2, scale,
+                              mats).astype(img_ref.dtype)
+    fwd_ref[:] = _w_rinv_core(a1r, a1i, n1, n2, scale,
+                              mats).astype(fwd_ref.dtype)
 
 
 def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,

@@ -166,14 +166,8 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     # in-kernel from the {0,1} support mask (exact even in bf16); the
     # padded data loses ~8 mantissa bits under bf16 — covered by the
     # bench quality gate
-    # spatial planes live in j2-major lane order inside the loop (the
-    # inverse W cores' natural output order — no in-kernel transpose);
-    # static planes are permuted once here, the crop converts back
-    perm = pk2.j2major_perm(pw)
-    inv_perm = jnp.asarray(np.argsort(perm))
-    perm = jnp.asarray(perm)
-    mask_c = jnp.asarray(pre.X_divmat * mu1 < 0.5, io)[:, perm]
-    dp_c = jnp.asarray(pre.data_pad, io)[:, perm]
+    mask_c = jnp.asarray(pre.X_divmat * mu1 < 0.5, io)
+    dp_c = jnp.asarray(pre.data_pad, io)
     zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
     state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
@@ -191,7 +185,7 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     state = jax.lax.fori_loop(0, n_iter, body, state)
     sy, sx = pre.start
     nh, nw = pre.psf_shape
-    img = state["image"].astype(jnp.float32)[:, inv_perm]
+    img = state["image"].astype(jnp.float32)
     crop = img[sy : sy + nh, sx : sx + nw]
     return jnp.maximum(crop, 0.0)
 
@@ -295,14 +289,8 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     # static planes ride at the inter-kernel storage dtype: the support
     # mask is {0,1} (exact in bf16); the padded data plane loses ~8
     # mantissa bits under bf16 io — covered by the bench PSNR gate
-    # split halves ride j2-major inside the loop (see run_split_fused)
-    mh2 = pw // 2
-    perm_h = pk2.j2major_perm(mh2)
-    perm_s_np = np.concatenate([perm_h, perm_h + mh2])
-    perm_s = jnp.asarray(perm_s_np)
-    inv_perm_s = jnp.asarray(np.argsort(perm_s_np))
-    mask_c = jnp.asarray(pre.mask, io)[:, perm_s]
-    dp_c = jnp.asarray(pre.data_pad, io)[:, perm_s]
+    mask_c = jnp.asarray(pre.mask, io)
+    dp_c = jnp.asarray(pre.data_pad, io)
     zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
     state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
@@ -340,7 +328,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
 
     with pk2.forced_interpret(needs_interp):
         state = jax.lax.fori_loop(0, n_iter, body, state)
-    img = pf.from_split_layout(state["image"].astype(f32)[:, inv_perm_s])
+    img = pf.from_split_layout(state["image"].astype(f32))
     sy, sx = pre.start
     nh, nw = pre.psf_shape
     return jnp.maximum(img[sy : sy + nh, sx : sx + nw], 0.0)
