@@ -111,7 +111,7 @@ def verify_split(jax):
         conv = admm.make_convolver(psf2d[None, :, :, None])
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
-    backend = os.environ.get("BENCH_FFT_BACKEND", "fused")
+    backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
 
     def run_backend(bk, psf, dat, n):
         if bk == "rfused":
@@ -205,8 +205,8 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
     psf2d /= np.linalg.norm(psf2d)
     data2d = rng.rand(*shape).astype(np.float32)
 
-    backends = [os.environ.get("BENCH_FFT_BACKEND", "fused")]
-    for fb in ("rfused", "pallas", "jax"):
+    backends = [os.environ.get("BENCH_FFT_BACKEND", "rfused")]
+    for fb in ("fused", "pallas", "jax"):
         if fb not in backends:
             backends.append(fb)
     for backend in backends:
@@ -287,13 +287,22 @@ def time_admm_mode(shape, mode, n_iter=30, base_iter=2, repeats=3,
     psf /= np.linalg.norm(psf)
     data = rng.rand(b, 1, *shape, ch).astype(np.float32)
 
-    pre, info = admm_split.precompute_split_general(psf, data)
+    backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
+    if backend == "rfused":
+        pre, info = admm_split.precompute_rsplit_general(psf, data)
 
-    @jax.jit
-    def run_sum(d, n):
-        out = admm_split.run_split_general(pre, info, d, n_iter=n,
-                                           backend="fused")
-        return out[:, :, ::499, ::499].sum()
+        @jax.jit
+        def run_sum(d, n):
+            out = admm_split.run_rsplit_general(pre, info, d, n_iter=n)
+            return out[:, :, ::499, ::499].sum()
+    else:
+        pre, info = admm_split.precompute_split_general(psf, data)
+
+        @jax.jit
+        def run_sum(d, n):
+            out = admm_split.run_split_general(pre, info, d, n_iter=n,
+                                               backend=backend)
+            return out[:, :, ::499, ::499].sum()
 
     return _timed(lambda k: float(run_sum(data, k)), base_iter, n_iter,
                   repeats)
@@ -370,6 +379,8 @@ def main():
                     # carry planes follow the io dtype; the PSNR quality
                     # gate in the child covers both together
                     LPT_CARRY_IO=os.environ.get("BENCH_CARRY_IO", split_io),
+                    # measured-best carry-kernel row block at 12MP
+                    LPT_E_BLOCK=os.environ.get("BENCH_E_BLOCK", "16"),
                 )
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--rung",

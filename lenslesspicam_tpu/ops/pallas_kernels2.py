@@ -129,6 +129,21 @@ _CARRY_DTYPE = (jnp.bfloat16
                 else jnp.float32)
 
 
+_BATCHED_DG = _os.environ.get("LPT_INV_BATCHED_DG", "1") != "0"
+
+
+def _dg_left(mat, t3):
+    """Batched (br, P, Q) -> (br, R, Q) contraction with the (R, P)
+    matrix broadcast on the LEFT: z[b, r, q] = sum_p mat[r, p] t[b, p, q].
+    Output keeps Q minor — used to skip the trailing transpose in the
+    inverse W cores (LPT_INV_BATCHED_DG=1)."""
+    br = t3.shape[0]
+    mb = jnp.broadcast_to(mat, (br,) + mat.shape)
+    return jax.lax.dot_general(
+        mb, t3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_PREC)
+
+
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
@@ -403,6 +418,12 @@ def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit,
     # twiddle T[k1, j2] = trt^T
     tr_ = ar * trt.T - ai * tit.T
     ti_ = ar * tit.T + ai * trt.T
+    if _BATCHED_DG and not j2major:
+        # outer contraction as a batched matmul with the stage matrix on
+        # the left: output lands directly in natural (br, j1, j2) order —
+        # no trailing minor-dim transpose
+        zr = _dg_left(f1r, tr_) - _dg_left(f1i, ti_)
+        return (zr * scale).reshape(br, n1 * n2)
     # outer: contract k1 -> (br, j2, j1); only the real part is needed
     zr = jax.lax.dot_general(tr_, f1r, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
@@ -1122,13 +1143,22 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
     hr = gr * tsr - gi * tsi                   # twiddle at sigma1(k)
     hi = gr * tsi + gi * tsr
 
-    pr_ = (dgC(tr_, f1r) - dgC(ti_, f1i)
-           + dgC(hr, f1sr) - dgC(hi, f1si))
-    pi_ = (dgC(tr_, f1i) + dgC(ti_, f1r)
-           + dgC(hr, f1si) + dgC(hi, f1sr))
-    if not j2major:
-        pr_ = jnp.swapaxes(pr_, 1, 2)
-        pi_ = jnp.swapaxes(pi_, 1, 2)
+    if _BATCHED_DG and not j2major:
+        # final contraction as batched left-matmuls: natural (br, j1, j2)
+        # output order, no trailing minor-dim transpose.  dgC contracts
+        # f1 dim 1, so the left operand is the matrix itself (f1[j1, k1]).
+        pr_ = (_dg_left(f1r, tr_) - _dg_left(f1i, ti_)
+               + _dg_left(f1sr, hr) - _dg_left(f1si, hi))
+        pi_ = (_dg_left(f1i, tr_) + _dg_left(f1r, ti_)
+               + _dg_left(f1si, hr) + _dg_left(f1sr, hi))
+    else:
+        pr_ = (dgC(tr_, f1r) - dgC(ti_, f1i)
+               + dgC(hr, f1sr) - dgC(hi, f1si))
+        pi_ = (dgC(tr_, f1i) + dgC(ti_, f1r)
+               + dgC(hr, f1si) + dgC(hi, f1sr))
+        if not j2major:
+            pr_ = jnp.swapaxes(pr_, 1, 2)
+            pi_ = jnp.swapaxes(pi_, 1, 2)
     pr_ = pr_ * scale
     pi_ = pi_ * scale
     return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)], axis=1)

@@ -300,6 +300,10 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     zcol = jnp.zeros((ph, 128), f32)
     needs_interp = not pk2.rfused_mosaic_ok(ph, pw)
 
+    import os as _os
+
+    skip_dc = _os.environ.get("LPT_SKIP_DCPATCH", "") == "1"  # timing probes ONLY
+
     def body(_, s):
         (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_rcarry(
             s["image"], s["fwd"], s["v"], s["b"], s["a0"], s["a1"],
@@ -307,16 +311,19 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         # exact DC (kw=0) and Nyquist (kw=M) columns on the side: the
         # packed lane is not separable under the filter multiply, so the
         # two real spatial columns are convolved directly in XLA
-        A0 = jnp.fft.fft(rkr[:, 0].astype(f32))
-        AM = jnp.fft.fft(rki[:, 0].astype(f32))
-        B0 = jnp.fft.fft(vr_[:, 0].astype(f32))
-        BM = jnp.fft.fft(vi_[:, 0].astype(f32))
-        F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
-        FM = pre.RM * (AM + jnp.conj(HM) * BM)
-        i0 = jnp.fft.ifft(F0).real
-        iM = jnp.fft.ifft(FM).real
-        f0 = jnp.fft.ifft(H0 * F0).real
-        fM = jnp.fft.ifft(HM * FM).real
+        if skip_dc:
+            i0 = iM = f0 = fM = jnp.zeros((ph,), f32)
+        else:
+            A0 = jnp.fft.fft(rkr[:, 0].astype(f32))
+            AM = jnp.fft.fft(rki[:, 0].astype(f32))
+            B0 = jnp.fft.fft(vr_[:, 0].astype(f32))
+            BM = jnp.fft.fft(vi_[:, 0].astype(f32))
+            F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
+            FM = pre.RM * (AM + jnp.conj(HM) * BM)
+            i0 = jnp.fft.ifft(F0).real
+            iM = jnp.fft.ifft(FM).real
+            f0 = jnp.fft.ifft(H0 * F0).real
+            fM = jnp.fft.ifft(HM * FM).real
 
         (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
             rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
