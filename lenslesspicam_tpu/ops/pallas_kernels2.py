@@ -544,7 +544,7 @@ def h_passB_combine(yr, yi, ar, ai, hr, hi, rr, n, bw=None, kb=None):
     _, _, _, _, _, _, _, n1, n2 = _mats(n, False)
     _, _, w = yr.shape
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
-    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -611,7 +611,7 @@ def fft_h_combine2(rkr, rki, vr, vi, hr, hi, rr, h):
     ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
                          h, False)
     bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
-    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -687,7 +687,7 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
     ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
                          h, False)
     bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
-    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -745,7 +745,7 @@ def h_passB_dual(yr, yi, hr, hi, n, bw=None, kb=None):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, True)
     _, _, w = yr.shape
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
-    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "4")))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -1384,6 +1384,168 @@ def irfft_w_dual(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, block_rows=None):
         out_shape=(io_sh, io_sh),
         interpret=_INTERPRET,
     )(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, *mats)
+
+
+# ---------------------------------------------------------------------------
+# v3 state placement: the X/v data-fidelity chain is row-local, so it
+# rides INSIDE the dual W-inverse kernel where the forward estimate is
+# already in registers — the fwd plane never crosses HBM — and the
+# image halo rows that the TV kernel needs come back as skinny
+# (nb, N) first/last-row tensors instead of whole block-shifted refs
+# (which re-fetch the full image plane twice).  Per iteration at 12MP
+# this deletes ~500 MB of HBM traffic (fwd write+read, 2x image
+# re-fetch, 1x a0 re-fetch) and frees enough VMEM for 32-row blocks.
+# ---------------------------------------------------------------------------
+
+
+def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
+                              a0r_ref, a0i_ref, a1r_ref, a1i_ref,
+                              p0r_ref, p0i_ref, p1r_ref, p1i_ref,
+                              v_ref, mask_ref, dp_ref, *refs):
+    """Dual packed-real W-inverse + in-register X/v update: image and
+    forward land from the spectra, then xi = mu1*fwd - v, X, v' and the
+    forward W transform of v' — fwd never leaves the kernel."""
+    imats = tuple(r[:] for r in refs[:_N_RMATS])
+    fmats = tuple(r[:] for r in refs[_N_RMATS:2 * _N_RMATS])
+    (img_ref, vo_ref, vwr_ref, vwi_ref) = refs[2 * _N_RMATS:]
+    f32 = jnp.float32
+    br, mh = a0r_ref.shape
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (br, mh), 1) == 0
+    a0r = jnp.where(lane0, p0r_ref[:][:, :1], a0r_ref[:].astype(f32))
+    a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
+    a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
+    a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
+    image = _w_rinv_core(a0r, a0i, n1, n2, scale, imats)
+    fwd = _w_rinv_core(a1r, a1i, n1, n2, scale, imats)
+    img_ref[:] = image.astype(img_ref.dtype)
+
+    xi = mu1 * fwd - v_ref[:].astype(f32)
+    xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
+    X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
+    v = mu1 * X - xi
+    vo_ref[:] = v.astype(vo_ref.dtype)
+    zr, zi = _w_rfwd_core(v, n1, n2, fmats)
+    vwr_ref[:] = zr.astype(vwr_ref.dtype)
+    vwi_ref[:] = zi.astype(vwi_ref.dtype)
+
+
+def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
+                       v, mask, dp, mu1, block_rows=None):
+    """v3 post-transform step (see _w_rinv_dual_state_kernel).  Returns
+    (image, v', v'_wr, v'_wi)."""
+    m, mh = a0r.shape
+    n_full = 2 * mh
+    br = block_rows or _e_block_rows_v3(m, n_full, "E2R")
+    nb = m // br
+    imats, scale, n1, n2 = _rplan_mats(n_full, True)
+    fmats, _, _, _ = _rplan_mats(n_full, False)
+    spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_col = pl.BlockSpec((br, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
+    io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
+    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
+    c_in = 1.0 / (1.0 + mu1)
+    c_out = 1.0 / mu1
+    return pl.pallas_call(
+        partial(_w_rinv_dual_state_kernel, n1, n2, scale, mu1, c_in, c_out),
+        grid=(nb,),
+        in_specs=[spec_h] * 4 + [spec_col] * 4 + [spec_c] * 3
+                 + _const_specs(imats) + _const_specs(fmats),
+        out_specs=(spec_c, spec_c, spec_h, spec_h),
+        out_shape=(io_sh, cr_sh, io_h, io_h),
+        interpret=_INTERPRET,
+    )(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, v, mask, dp, *imats, *fmats)
+
+
+def _e_block_rows_v3(m, w, which="E1R"):
+    """Row-block for the v3 state kernels: fewer live buffers than the
+    v2 carries, so larger blocks fit VMEM (fewer grid steps -> less
+    per-step matmul latency).  Default 32 (measured best at 12MP that
+    still fits the 16 MB scoped-VMEM limit); LPT_E_BLOCK3 overrides
+    both kernels, LPT_E1R_BLOCK / LPT_E2R_BLOCK individually."""
+    env = (_os.environ.get(f"LPT_{which}_BLOCK")
+           or _os.environ.get("LPT_E_BLOCK3"))
+    return _pick_block(m, int(env) if env else 32)
+
+
+def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
+                  imgc_ref, imgp_ref, imgn_ref, a0c_ref, a0n_ref,
+                  a1_ref, b_ref, *refs):
+    """v3 pre-transform step: TV/W chains + rk assembly + forward W
+    transform of rk.  The image/a0 halo rows arrive as thin STRIPE refs
+    of the same planes (8 rows instead of whole neighbour blocks):
+    imgp = last stripe of block i-1, imgn/a0n = first stripe of block
+    i+1 (periodic padded grid)."""
+    fmats = tuple(r[:] for r in refs[:_N_RMATS])
+    (rkr_ref, rki_ref, a0o_ref, a1o_ref, bo_ref) = refs[_N_RMATS:]
+    f32 = jnp.float32
+    img_c = imgc_ref[:].astype(f32)
+    ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
+                            imgn_ref[:].astype(f32)[:1]], axis=0)
+    psi0_ext = ximg[:-1] - ximg[1:]
+    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
+                             axis=0).astype(f32)
+    eta0_eff = mu2 * psi0_ext - a0_ext
+    thr = tau / mu2
+    u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
+    a0 = mu2 * u0_new - eta0_eff
+    adj0 = a0[1:] - a0[:-1]
+    a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
+
+    psi1 = _split_roll_p1(img_c, mh) - img_c
+    eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
+    u1_new = _soft(psi1 + eta1_eff / mu2, thr)
+    a1 = mu2 * u1_new - eta1_eff
+    adj1 = _split_roll_m1(a1, mh) - a1
+    a1o_ref[:] = a1.astype(a1o_ref.dtype)
+
+    rho = mu3 * img_c - b_ref[:].astype(f32)
+    W = jnp.maximum(rho / mu3 + img_c, 0.0)
+    b = mu3 * W - rho
+    bo_ref[:] = b.astype(bo_ref.dtype)
+    rk = b + adj0 + adj1
+
+    zr, zi = _w_rfwd_core(rk, n1, n2, fmats)
+    rkr_ref[:] = zr.astype(rkr_ref.dtype)
+    rki_ref[:] = zi.astype(rki_ref.dtype)
+
+
+def e1_rtv(image, a0, a1, b, mu2, mu3, tau, block_rows=None):
+    """v3 pre-transform step (see _e1rtv_kernel).  Returns
+    (rk_wr, rk_wi, a0', a1', b')."""
+    m, n_full = image.shape
+    mh = n_full // 2
+    br = block_rows or _e_block_rows_v3(m, n_full, "E1R")
+    nb = m // br
+    fmats, scale, n1, n2 = _rplan_mats(n_full, False)
+    spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # halo stripes: 8-row blocks of the SAME planes at the neighbouring
+    # block boundaries (Pallas TPU requires sublane dims divisible by 8;
+    # tiny interpret-mode grids fall back to whole-block halos)
+    st = 8 if (br % 8 == 0 and m % 8 == 0) else br
+    q = br // st
+    nbs = m // st
+    spec_sp = pl.BlockSpec((st, n_full), lambda i: ((i * q - 1) % nbs, 0),
+                           memory_space=pltpu.VMEM)
+    spec_sn = pl.BlockSpec((st, n_full), lambda i: (((i + 1) % nb) * q, 0),
+                           memory_space=pltpu.VMEM)
+    io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
+    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
+    return pl.pallas_call(
+        partial(_e1rtv_kernel, n1, n2, mh, mu2, mu3, tau),
+        grid=(nb,),
+        in_specs=[spec_c, spec_sp, spec_sn,
+                  spec_c, spec_sn, spec_c, spec_c]
+                 + _const_specs(fmats),
+        out_specs=(spec_h, spec_h, spec_c, spec_c, spec_c),
+        out_shape=(io_h, io_h, cr_sh, cr_sh, cr_sh),
+        interpret=_INTERPRET,
+    )(image, image, image, a0, a0, a1, b, *fmats)
 
 
 def ifft_h_dual(vr, vi, hr, hi, h):

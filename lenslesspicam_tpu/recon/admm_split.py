@@ -13,6 +13,7 @@ Numerics: identical to admm.run up to f32 matmul accumulation error
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -277,7 +278,17 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                      n_iter: int = 100) -> jax.Array:
     """Fully-fused grayscale ADMM on the half-spectrum backend.  Same
     state algebra as run_split (reference ordering
-    lensless/recon/admm.py); HBM traffic of every spectrum pass halves."""
+    lensless/recon/admm.py); HBM traffic of every spectrum pass halves.
+
+    Two kernel placements (LPT_RFUSED_V3, default on):
+
+    * v3: the X/v data-fidelity chain rides inside the dual W-inverse
+      kernel (the forward estimate never crosses HBM) and the TV
+      kernel's image/a0 halos arrive as skinny block-boundary-row
+      tensors — ~0.5 GB/iter less traffic at 12MP than v2.
+    * v2 (fallback): e1_rcarry carries fwd through HBM and re-fetches
+      whole neighbour blocks for the halos.
+    """
     from ..ops import pallas_kernels2 as pk2
 
     mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
@@ -293,45 +304,75 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     dp_c = jnp.asarray(pre.data_pad, io)
     zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
-    state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
-                 a0=zeros_cr, a1=zeros_cr)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
     HM = jax.lax.complex(pre.HMr, pre.HMi)
     zcol = jnp.zeros((ph, 128), f32)
     needs_interp = not pk2.rfused_mosaic_ok(ph, pw)
 
-    import os as _os
+    skip_dc = os.environ.get("LPT_SKIP_DCPATCH", "") == "1"  # timing probes ONLY
+    use_v3 = os.environ.get("LPT_RFUSED_V3", "1") != "0"
 
-    skip_dc = _os.environ.get("LPT_SKIP_DCPATCH", "") == "1"  # timing probes ONLY
-
-    def body(_, s):
-        (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_rcarry(
-            s["image"], s["fwd"], s["v"], s["b"], s["a0"], s["a1"],
-            mask_c, dp_c, mu1, mu2, mu3, tau)
+    def dc_patch(rkr, rki, vr_, vi_):
         # exact DC (kw=0) and Nyquist (kw=M) columns on the side: the
         # packed lane is not separable under the filter multiply, so the
         # two real spatial columns are convolved directly in XLA
         if skip_dc:
-            i0 = iM = f0 = fM = jnp.zeros((ph,), f32)
-        else:
-            A0 = jnp.fft.fft(rkr[:, 0].astype(f32))
-            AM = jnp.fft.fft(rki[:, 0].astype(f32))
-            B0 = jnp.fft.fft(vr_[:, 0].astype(f32))
-            BM = jnp.fft.fft(vi_[:, 0].astype(f32))
-            F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
-            FM = pre.RM * (AM + jnp.conj(HM) * BM)
-            i0 = jnp.fft.ifft(F0).real
-            iM = jnp.fft.ifft(FM).real
-            f0 = jnp.fft.ifft(H0 * F0).real
-            fM = jnp.fft.ifft(HM * FM).real
+            z = jnp.zeros((ph,), f32)
+            return z, z, z, z
+        A0 = jnp.fft.fft(rkr[:, 0].astype(f32))
+        AM = jnp.fft.fft(rki[:, 0].astype(f32))
+        B0 = jnp.fft.fft(vr_[:, 0].astype(f32))
+        BM = jnp.fft.fft(vi_[:, 0].astype(f32))
+        F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
+        FM = pre.RM * (AM + jnp.conj(HM) * BM)
+        i0 = jnp.fft.ifft(F0).real
+        iM = jnp.fft.ifft(FM).real
+        f0 = jnp.fft.ifft(H0 * F0).real
+        fM = jnp.fft.ifft(HM * FM).real
+        return i0, iM, f0, fM
 
-        (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
-            rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
-        imgn, fwdn = pk2.irfft_w_dual(
-            a0r, a0i, a1r, a1i,
-            zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
-            zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM))
-        return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n)
+    if use_v3:
+        # iteration-0 v carry: with all other state zero the first X
+        # update gives v = mu1 * X_divmat * data (see _e1cr_kernel
+        # algebra) — precompute it and its W spectrum outside the loop
+        c_in, c_out = 1.0 / (1.0 + mu1), 1.0 / mu1
+        xdv = c_out + (c_in - c_out) * jnp.asarray(pre.mask, f32)
+        v_init = (mu1 * xdv * jnp.asarray(pre.data_pad, f32))
+        with pk2.forced_interpret(needs_interp):
+            vwr0, vwi0 = pk2.rfft_w(v_init.astype(io))
+        state = dict(image=zeros_io, a0=zeros_cr, a1=zeros_cr, b=zeros_cr,
+                     v=v_init.astype(pk2._CARRY_DTYPE),
+                     vwr=vwr0, vwi=vwi0)
+
+        def body(_, s):
+            (rkr, rki, a0n, a1n, bn) = pk2.e1_rtv(
+                s["image"], s["a0"], s["a1"], s["b"], mu2, mu3, tau)
+            i0, iM, f0, fM = dc_patch(rkr, rki, s["vwr"], s["vwi"])
+            (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
+                rkr, rki, s["vwr"], s["vwi"], Hr_c, Hi_c, R_c, ph)
+            (imgn, vn, vwrn, vwin) = pk2.irfft_w_dual_state(
+                a0r, a0i, a1r, a1i,
+                zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
+                zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
+                s["v"], mask_c, dp_c, mu1)
+            return dict(image=imgn, a0=a0n, a1=a1n, b=bn,
+                        v=vn, vwr=vwrn, vwi=vwin)
+    else:
+        state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
+                     a0=zeros_cr, a1=zeros_cr)
+
+        def body(_, s):
+            (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_rcarry(
+                s["image"], s["fwd"], s["v"], s["b"], s["a0"], s["a1"],
+                mask_c, dp_c, mu1, mu2, mu3, tau)
+            i0, iM, f0, fM = dc_patch(rkr, rki, vr_, vi_)
+            (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
+                rkr, rki, vr_, vi_, Hr_c, Hi_c, R_c, ph)
+            imgn, fwdn = pk2.irfft_w_dual(
+                a0r, a0i, a1r, a1i,
+                zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
+                zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM))
+            return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n)
 
     with pk2.forced_interpret(needs_interp):
         state = jax.lax.fori_loop(0, n_iter, body, state)

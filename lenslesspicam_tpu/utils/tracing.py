@@ -84,15 +84,30 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
     d, ph, pw = padded_shape[0], padded_shape[1], padded_shape[2]
     a = d * ph * pw * channels            # elements per full plane
     h = 0.5 if half_spectrum else 1.0     # spectrum plane scale
-    io_planes = (6 + 4 * h                # e1 reads + spectrum writes
-                 + 8 * h                  # 2x forward pass-A
-                 + 11 * h                 # combine_dual kernel (7 in, 4 out)
-                 + 8 * h                  # 2x inverse pass-A
-                 + 4 * h + 2)             # e2 dual inverse
     import os
+    v3 = (half_spectrum
+          and os.environ.get("LPT_RFUSED_V3", "1") != "0")
+    if v3:
+        # v3 placement: fwd never crosses HBM (X/v chain inside the dual
+        # W-inverse), halos via 8-row stripe refs of the same planes
+        # (2 io stripes on image + 1 carry stripe on a0 at br=32)
+        io_planes = (1 + 2 * h            # e1: image read + rk spectra
+                     + 8 * h              # 2x forward pass-A
+                     + 11 * h             # combine_dual kernel (7 in, 4 out)
+                     + 8 * h              # 2x inverse pass-A
+                     + 4 * h + 2          # e2: 4 spectra in, mask+dp
+                     + 1 + 2 * h          # e2: image out + v' spectra
+                     + 2 * 8 / 32)        # image halo stripes
+        carry_planes = 6 + 2 + 8 / 32     # e1 a0/a1/b r+w, e2 v r+w, a0 stripe
+    else:
+        io_planes = (6 + 4 * h            # e1 reads + spectrum writes
+                     + 8 * h              # 2x forward pass-A
+                     + 11 * h             # combine_dual kernel (7 in, 4 out)
+                     + 8 * h              # 2x inverse pass-A
+                     + 4 * h + 2)         # e2 dual inverse
+        carry_planes = 5 + 4              # e1 carry reads + writes
     carry_bytes = (2 if os.environ.get("LPT_CARRY_IO", "").lower() == "bf16"
                    else 4)
-    carry_planes = 5 + 4                  # e1 carry reads + writes
     return int(a * (io_planes * io_bytes + carry_planes * carry_bytes))
 
 
