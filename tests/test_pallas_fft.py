@@ -187,6 +187,33 @@ def test_admm_rfused_matches_exact_solver():
         pk2._set_interpret(False)
 
 
+def test_admm_rfused_v3_matches_v2_placement(monkeypatch):
+    """The v3 kernel placement (X/v chain inside the dual W-inverse,
+    stripe halos — pallas_kernels2.irfft_w_dual_state/e1_rtv) computes
+    the IDENTICAL recurrence as the v2 placement (e1_rcarry +
+    irfft_w_dual): same images at every iteration count."""
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.recon import admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    pk2._set_interpret(True)
+    try:
+        rng = np.random.RandomState(7)
+        psf2d = rng.rand(40, 56).astype(np.float32)
+        psf2d /= np.linalg.norm(psf2d)
+        data2d = rng.rand(40, 56).astype(np.float32)
+        pre = admm_split.precompute_rsplit(psf2d, data2d)
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("LPT_RFUSED_V3", flag)
+            # bypass the jit cache: the env flag is read at trace time
+            outs[flag] = np.asarray(
+                admm_split.run_split_rfused(pre, ADMMParams(), 7))
+        np.testing.assert_allclose(outs["1"], outs["0"], atol=2e-6)
+    finally:
+        pk2._set_interpret(False)
+
+
 def test_admm_split_general_batched_rgb_3d():
     """Batched RGB multi-depth split solver == standard solver."""
     import jax
