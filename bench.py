@@ -135,12 +135,21 @@ def verify_split(jax):
     assert err < 5e-2, f"split solver diverges: {err}"
     print(f"verify split ok (rel err vs standard: {err:.2e})", file=sys.stderr)
 
-    # quality gate: reconstructing a structured scene from a simulated
-    # measurement must match the exact solver's PSNR within 0.2 dB
+    # quality gate: reconstructing structured scenes from simulated
+    # measurements must match the exact solver's PSNR within 0.2 dB —
+    # TWO scenes x the benchmark protocol's iteration extremes
+    # (n_iter 5/100/300, configs/benchmark/defaults.yaml:34 sweep ends)
+    # plus an RGB gate on the batched/general backend.  n_iter is a
+    # dynamic jit arg, so the extra rungs cost no extra compiles.
     h, w = 96, 128
-    scene = np.zeros((h, w), np.float32)
-    scene[20:40, 30:60] = 1.0
-    scene[50:80, 70:110] = 0.6
+    scene_a = np.zeros((h, w), np.float32)
+    scene_a[20:40, 30:60] = 1.0
+    scene_a[50:80, 70:110] = 0.6
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    scene_b = (np.exp(-((yy - 30) ** 2 + (xx - 40) ** 2) / 150.0)
+               + 0.7 * np.exp(-((yy - 70) ** 2 + (xx - 90) ** 2) / 400.0)
+               + 0.15 * np.sin(xx / 3.0) * np.sin(yy / 4.0) + 0.15
+               ).astype(np.float32)
     psf_q = np.zeros((h, w), np.float32)
     qys, qxs = rng.randint(0, h, 200), rng.randint(0, w, 200)
     psf_q[qys, qxs] = rng.rand(200)
@@ -148,30 +157,72 @@ def verify_split(jax):
     from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
 
     if cpu is not None:
-        with jax.default_device(cpu):
-            fwd = FFTConvolver.from_psf(psf_q[None, :, :, None], pad=True,
-                                        norm="backward")
-            meas = np.asarray(fwd.convolve(jnp.asarray(
-                scene[None, None, :, :, None]))).squeeze()
-            meas = (meas / meas.max()).astype(np.float32)
-            conv_q = admm.make_convolver(psf_q[None, :, :, None])
-            ref_q = np.asarray(admm.run_jit(conv_q, jnp.asarray(
-                meas[None, None, :, :, None]), n_iter=100))[0, 0, :, :, 0]
-        try:
-            out_q = run_backend(backend, psf_q, meas, 100)
-        except Exception:
-            out_q = run_backend("jax", psf_q, meas, 100)
+        def simulate(scene):
+            with jax.default_device(cpu):
+                fwd = FFTConvolver.from_psf(psf_q[None, :, :, None], pad=True,
+                                            norm="backward")
+                meas = np.asarray(fwd.convolve(jnp.asarray(
+                    scene[None, None, :, :, None]))).squeeze()
+            return (meas / meas.max()).astype(np.float32)
 
-        def psnr_of(x):
+        def exact_recon(meas, n):
+            with jax.default_device(cpu):
+                conv_q = admm.make_convolver(psf_q[None, :, :, None])
+                return np.asarray(admm.run_jit(conv_q, jnp.asarray(
+                    meas[None, None, :, :, None]), n_iter=n))[0, 0, :, :, 0]
+
+        def psnr_of(x, scene):
             xn = x / max(x.max(), 1e-9)
             sn = scene / scene.max()
             return -10 * np.log10(np.mean((xn - sn) ** 2) + 1e-12)
 
-        p_ref, p_out = psnr_of(ref_q), psnr_of(out_q)
-        assert abs(p_ref - p_out) < 0.2, (
-            f"quality gate failed: exact {p_ref:.2f} dB vs backend {p_out:.2f} dB")
-        print(f"quality gate ok (exact {p_ref:.2f} dB, backend {p_out:.2f} dB)",
-              file=sys.stderr)
+        for name, scene in (("rects", scene_a), ("blobs", scene_b)):
+            meas = simulate(scene)
+            for n in (5, 100, 300):
+                ref_q = exact_recon(meas, n)
+                try:
+                    out_q = run_backend(backend, psf_q, meas, n)
+                except Exception:
+                    out_q = run_backend("jax", psf_q, meas, n)
+                p_ref = psnr_of(ref_q, scene)
+                p_out = psnr_of(out_q, scene)
+                assert abs(p_ref - p_out) < 0.2, (
+                    f"quality gate failed ({name}, n={n}): exact "
+                    f"{p_ref:.2f} dB vs backend {p_out:.2f} dB")
+                print(f"quality gate ok ({name}, n={n}): exact "
+                      f"{p_ref:.2f} dB, backend {p_out:.2f} dB",
+                      file=sys.stderr)
+
+        # RGB gate on the general (vmapped) backend: per-channel scaled
+        # copies of both scenes reconstructed at n=100
+        if os.environ.get("BENCH_RGB_GATE", "1") != "0":
+            from lenslesspicam_tpu.recon import admm_split as asp
+
+            scene_rgb = np.stack([scene_a, scene_b,
+                                  0.5 * (scene_a + scene_b)], axis=-1)
+            meas_rgb = np.stack([simulate(scene_rgb[:, :, c])
+                                 for c in range(3)], axis=-1)
+            psf_rgb = np.repeat(psf_q[None, :, :, None], 3, axis=-1)
+            ref_rgb = np.stack([exact_recon(meas_rgb[:, :, c], 100)
+                                for c in range(3)], axis=-1)
+            try:
+                pre_g, info_g = asp.precompute_rsplit_general(
+                    psf_rgb, meas_rgb[None, None])
+                out_rgb = np.asarray(asp.run_rsplit_general(
+                    pre_g, info_g, meas_rgb[None, None],
+                    n_iter=100))[0, 0]
+                for c in range(3):
+                    p_ref = psnr_of(ref_rgb[:, :, c], scene_rgb[:, :, c])
+                    p_out = psnr_of(out_rgb[:, :, c], scene_rgb[:, :, c])
+                    assert abs(p_ref - p_out) < 0.2, (
+                        f"RGB gate failed (ch {c}): exact {p_ref:.2f} dB "
+                        f"vs backend {p_out:.2f} dB")
+                print("RGB quality gate ok", file=sys.stderr)
+            except Exception as e:
+                if "gate failed" in str(e):
+                    raise
+                print(f"RGB gate skipped (general backend: {e})",
+                      file=sys.stderr)
 
 
 def _timed(fn, base_iter, n_iter, repeats=3):
@@ -376,9 +427,12 @@ def main():
                     LPT_PALLAS_PRECISION=os.environ.get(
                         "BENCH_PALLAS_PRECISION", "default"),
                     LPT_SPLIT_IO=split_io,
-                    # carry planes follow the io dtype; the PSNR quality
-                    # gate in the child covers both together
-                    LPT_CARRY_IO=os.environ.get("BENCH_CARRY_IO", split_io),
+                    # carry planes stay f32: they ACCUMULATE across
+                    # iterations, and bf16 carries compound to a ~2 dB
+                    # PSNR loss by n_iter=300 (caught by the 300-iter
+                    # quality gate; the re-derived bf16 io spectra do
+                    # not compound and pass at all protocol depths)
+                    LPT_CARRY_IO=os.environ.get("BENCH_CARRY_IO", "f32"),
                     # measured-best carry-kernel row block at 12MP
                     LPT_E_BLOCK=os.environ.get("BENCH_E_BLOCK", "16"),
                 )

@@ -62,8 +62,10 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for i, (fp, ft) in enumerate(zip(f_pred, f_tgt)):
-            fp = fp / jnp.sqrt(jnp.sum(fp**2, axis=-1, keepdims=True) + 1e-10)
-            ft = ft / jnp.sqrt(jnp.sum(ft**2, axis=-1, keepdims=True) + 1e-10)
+            # unit-normalize exactly like lpips.normalize_tensor: the eps
+            # guards the division OUTSIDE the sqrt
+            fp = fp / (jnp.sqrt(jnp.sum(fp**2, axis=-1, keepdims=True)) + 1e-10)
+            ft = ft / (jnp.sqrt(jnp.sum(ft**2, axis=-1, keepdims=True)) + 1e-10)
             diff = (fp - ft) ** 2
             w = self.param(f"lin{i}", nn.initializers.ones, (diff.shape[-1],))
             layer_val = jnp.mean(jnp.sum(jnp.abs(w) * diff, axis=-1), axis=(-1, -2))

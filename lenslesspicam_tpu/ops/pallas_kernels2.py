@@ -131,6 +131,16 @@ _CARRY_DTYPE = (jnp.bfloat16
 
 _BATCHED_DG = _os.environ.get("LPT_INV_BATCHED_DG", "1") != "0"
 
+# Concat-fusion (round 3): every pair of same-matrix transform passes in
+# the hot pipeline (the rk/v forward pass-A, the a0/a1 inverse pass-A,
+# the four stage-2 contractions inside the combine kernel, and the two
+# W-inverse cores of the dual state kernel) is merged into ONE pass over
+# operands concatenated along a free axis.  Same FLOPs, half the MXU
+# instruction count — the pipeline is latency-bound on small-matmul
+# issue overhead at 12MP (measured: 38% of HBM SOL with ~18k matmul
+# invocations/iter), so fewer, wider matmuls directly cut wall time.
+_CONCAT_FUSE = _os.environ.get("LPT_CONCAT_FUSE", "1") != "0"
+
 
 def _dg_left(mat, t3):
     """Batched (br, P, Q) -> (br, R, Q) contraction with the (R, P)
@@ -232,6 +242,72 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
                    jax.ShapeDtypeStruct((n1, n2, w), out_dt)),
         interpret=_INTERPRET,
     )(xr, xi, F1r, F1i, Trb, Tib)
+
+
+def _h_passA_pair_kernel(n1, bj, scale, twiddle_first,
+                         x1r_ref, x1i_ref, x2r_ref, x2i_ref, f1r, f1i,
+                         tr, ti, o1r_ref, o1i_ref, o2r_ref, o2i_ref):
+    """Pass A on TWO plane pairs in one grid step: the planes are
+    concatenated along the LANE axis so each stage-1 matmul runs at
+    double free width — half the MXU instruction count of two separate
+    h_passA calls (and half the grid steps)."""
+    _, _, bw = x1r_ref.shape
+    twr = tr[:][0][:, :, None]
+    twi = ti[:][0][:, :, None]
+    f32 = jnp.float32
+    xr3 = jnp.concatenate([x1r_ref[:].astype(f32),
+                           x2r_ref[:].astype(f32)], axis=2)
+    xi3 = jnp.concatenate([x1i_ref[:].astype(f32),
+                           x2i_ref[:].astype(f32)], axis=2)
+    if twiddle_first:
+        xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
+        xr = xr3.reshape(n1, bj * 2 * bw)
+        xi = xi3.reshape(n1, bj * 2 * bw)
+        zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
+        zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
+    else:
+        xr = xr3.reshape(n1, bj * 2 * bw)
+        xi = xi3.reshape(n1, bj * 2 * bw)
+        yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
+        yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
+        zr = yr * twr - yi * twi
+        zi = yr * twi + yi * twr
+    if scale != 1.0:
+        zr = zr * scale
+        zi = zi * scale
+    o1r_ref[:] = zr[:, :, :bw].astype(o1r_ref.dtype)
+    o1i_ref[:] = zi[:, :, :bw].astype(o1i_ref.dtype)
+    o2r_ref[:] = zr[:, :, bw:].astype(o2r_ref.dtype)
+    o2i_ref[:] = zi[:, :, bw:].astype(o2i_ref.dtype)
+
+
+def h_passA_pair(x1r, x1i, x2r, x2i, n, inverse, bj=None, bw=None):
+    """Two same-matrix pass-A transforms in one pallas call (see
+    _h_passA_pair_kernel); planes shaped (n1, n2, W).  Returns
+    ((z1r, z1i), (z2r, z2i))."""
+    F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
+    _, _, w = x1r.shape
+    bj = bj or (n2 if n2 % 8 else min(int(_os.environ.get("LPT_PALLAS_BJ", "32")), n2))
+    bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
+    data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n1, n1), lambda j, k: (0, 0),
+                            memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((1, n1, bj), lambda j, k: (j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    Trb = jnp.transpose(Tr.reshape(n1, n2 // bj, bj), (1, 0, 2))
+    Tib = jnp.transpose(Ti.reshape(n1, n2 // bj, bj), (1, 0, 2))
+    shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
+    z1r, z1i, z2r, z2i = pl.pallas_call(
+        partial(_h_passA_pair_kernel, n1, bj, scale if inverse else 1.0,
+                inverse),
+        grid=(n2 // bj, w // bw),
+        in_specs=[data_spec] * 4 + [mat_spec] * 2 + [tw_spec] * 2,
+        out_specs=(data_spec,) * 4,
+        out_shape=(shape,) * 4,
+        interpret=_INTERPRET,
+    )(x1r, x1i, x2r, x2i, F1r, F1i, Trb, Tib)
+    return (z1r, z1i), (z2r, z2i)
 
 
 # ---------------------------------------------------------------------------
@@ -646,18 +722,32 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
     kb, _, bw = xr_ref.shape
 
     def stage2(vr, vi, mr, mi):
-        vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * bw)
-        vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * bw)
+        wv = vr.shape[2]
+        vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * wv)
+        vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * wv)
         zr = _mm(mr, vr2) - _mm(mi, vi2)
         zi = _mm(mr, vi2) + _mm(mi, vr2)
-        return (jnp.swapaxes(zr.reshape(n2, kb, bw), 0, 1),
-                jnp.swapaxes(zi.reshape(n2, kb, bw), 0, 1))
+        return (jnp.swapaxes(zr.reshape(n2, kb, wv), 0, 1),
+                jnp.swapaxes(zi.reshape(n2, kb, wv), 0, 1))
 
     f32 = jnp.float32
-    ar, ai = stage2(xr_ref[:].astype(f32), xi_ref[:].astype(f32),
-                    f2fr[:], f2fi[:])
-    br, bi = stage2(yr_ref[:].astype(f32), yi_ref[:].astype(f32),
-                    f2fr[:], f2fi[:])
+    if _CONCAT_FUSE:
+        # both forward stage-2 contractions as ONE double-width matmul
+        # set (planes concatenated along lanes), ditto the two inverse
+        # stage-2 contractions — 8 MXU ops per step instead of 16
+        cr_, ci_ = stage2(
+            jnp.concatenate([xr_ref[:].astype(f32),
+                             yr_ref[:].astype(f32)], axis=2),
+            jnp.concatenate([xi_ref[:].astype(f32),
+                             yi_ref[:].astype(f32)], axis=2),
+            f2fr[:], f2fi[:])
+        ar, br = cr_[:, :, :bw], cr_[:, :, bw:]
+        ai, bi = ci_[:, :, :bw], ci_[:, :, bw:]
+    else:
+        ar, ai = stage2(xr_ref[:].astype(f32), xi_ref[:].astype(f32),
+                        f2fr[:], f2fi[:])
+        br, bi = stage2(yr_ref[:].astype(f32), yi_ref[:].astype(f32),
+                        f2fr[:], f2fi[:])
     hr = hr_ref[:].astype(f32)
     hi = hi_ref[:].astype(f32)
     rr = rr_ref[:].astype(f32)
@@ -665,8 +755,15 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
     fi = rr * (ai + hr * bi - hi * br)
     f1r = fr * hr - fi * hi
     f1i = fr * hi + fi * hr
-    a0r, a0i = stage2(fr, fi, f2ir[:], f2ii[:])
-    a1r, a1i = stage2(f1r, f1i, f2ir[:], f2ii[:])
+    if _CONCAT_FUSE:
+        gr_, gi_ = stage2(jnp.concatenate([fr, f1r], axis=2),
+                          jnp.concatenate([fi, f1i], axis=2),
+                          f2ir[:], f2ii[:])
+        a0r, a1r = gr_[:, :, :bw], gr_[:, :, bw:]
+        a0i, a1i = gi_[:, :, :bw], gi_[:, :, bw:]
+    else:
+        a0r, a0i = stage2(fr, fi, f2ir[:], f2ii[:])
+        a1r, a1i = stage2(f1r, f1i, f2ir[:], f2ii[:])
     a0r_ref[:] = a0r.astype(a0r_ref.dtype)
     a0i_ref[:] = a0i.astype(a0i_ref.dtype)
     a1r_ref[:] = a1r.astype(a1r_ref.dtype)
@@ -682,10 +779,15 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
     plane passes saved per iteration."""
     _, _, _, _, _, _, _, n1, n2 = _mats(h, False)
     w = vr.shape[-1]
-    xa_r, xa_i = h_passA(rkr.reshape(n1, n2, w), rki.reshape(n1, n2, w),
-                         h, False)
-    ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
-                         h, False)
+    if _CONCAT_FUSE:
+        (xa_r, xa_i), (ya_r, ya_i) = h_passA_pair(
+            rkr.reshape(n1, n2, w), rki.reshape(n1, n2, w),
+            vr.reshape(n1, n2, w), vi.reshape(n1, n2, w), h, False)
+    else:
+        xa_r, xa_i = h_passA(rkr.reshape(n1, n2, w), rki.reshape(n1, n2, w),
+                             h, False)
+        ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
+                             h, False)
     bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
     kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
@@ -706,8 +808,11 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
       hr.reshape(n1, n2, w), hi.reshape(n1, n2, w), rr.reshape(n1, n2, w),
       F2fr, F2fi, F2ir, F2ii)
     # inverse pass-A (twiddle + outer contraction) on both planes
-    z0r, z0i = h_passA(a0r, a0i, h, True)
-    z1r, z1i = h_passA(a1r, a1i, h, True)
+    if _CONCAT_FUSE:
+        (z0r, z0i), (z1r, z1i) = h_passA_pair(a0r, a0i, a1r, a1i, h, True)
+    else:
+        z0r, z0i = h_passA(a0r, a0i, h, True)
+        z1r, z1i = h_passA(a1r, a1i, h, True)
     return ((z0r.reshape(h, w), z0i.reshape(h, w)),
             (z1r.reshape(h, w), z1i.reshape(h, w)))
 
@@ -845,6 +950,14 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     vo_ref[:] = v.astype(vo_ref.dtype)
 
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
+    if _CONCAT_FUSE:
+        br = rk.shape[0]
+        zr, zi = _w_fwd_core(jnp.concatenate([rk, v], axis=0), n1, n2, *mats)
+        rkr_ref[:] = zr[:br].astype(rkr_ref.dtype)
+        rki_ref[:] = zi[:br].astype(rki_ref.dtype)
+        vr_ref[:] = zr[br:].astype(vr_ref.dtype)
+        vi_ref[:] = zi[br:].astype(vi_ref.dtype)
+        return
     zr, zi = _w_fwd_core(rk, n1, n2, *mats)
     rkr_ref[:] = zr.astype(rkr_ref.dtype)
     rki_ref[:] = zi.astype(rki_ref.dtype)
@@ -858,6 +971,16 @@ def _w_inv_dual_kernel(n1, n2, scale,
                        f1r, f1i, f2r, f2i, trt, tit, img_ref, fwd_ref):
     f32 = jnp.float32
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
+    if _CONCAT_FUSE:
+        br = a0r_ref.shape[0]
+        zr = jnp.concatenate([a0r_ref[:].astype(f32),
+                              a1r_ref[:].astype(f32)], axis=0)
+        zi = jnp.concatenate([a0i_ref[:].astype(f32),
+                              a1i_ref[:].astype(f32)], axis=0)
+        out = _w_inv_core(zr, zi, n1, n2, scale, *mats)
+        img_ref[:] = out[:br].astype(img_ref.dtype)
+        fwd_ref[:] = out[br:].astype(fwd_ref.dtype)
+        return
     image = _w_inv_core(a0r_ref[:].astype(f32), a0i_ref[:].astype(f32),
                         n1, n2, scale, *mats)
     fwd = _w_inv_core(a1r_ref[:].astype(f32), a1i_ref[:].astype(f32),
@@ -1296,12 +1419,20 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     v = mu1 * X - xi
     vo_ref[:] = v.astype(vo_ref.dtype)
 
-    zr, zi = _w_rfwd_core(rk, n1, n2, mats)
-    rkr_ref[:] = zr.astype(rkr_ref.dtype)
-    rki_ref[:] = zi.astype(rki_ref.dtype)
-    zr, zi = _w_rfwd_core(v, n1, n2, mats)
-    vr_ref[:] = zr.astype(vr_ref.dtype)
-    vi_ref[:] = zi.astype(vi_ref.dtype)
+    if _CONCAT_FUSE:
+        brr = rk.shape[0]
+        zr, zi = _w_rfwd_core(jnp.concatenate([rk, v], axis=0), n1, n2, mats)
+        rkr_ref[:] = zr[:brr].astype(rkr_ref.dtype)
+        rki_ref[:] = zi[:brr].astype(rki_ref.dtype)
+        vr_ref[:] = zr[brr:].astype(vr_ref.dtype)
+        vi_ref[:] = zi[brr:].astype(vi_ref.dtype)
+    else:
+        zr, zi = _w_rfwd_core(rk, n1, n2, mats)
+        rkr_ref[:] = zr.astype(rkr_ref.dtype)
+        rki_ref[:] = zi.astype(rki_ref.dtype)
+        zr, zi = _w_rfwd_core(v, n1, n2, mats)
+        vr_ref[:] = zr.astype(vr_ref.dtype)
+        vi_ref[:] = zi.astype(vi_ref.dtype)
 
 
 def _w_rinv_dual_kernel(n1, n2, scale,
@@ -1319,6 +1450,13 @@ def _w_rinv_dual_kernel(n1, n2, scale,
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
+    if _CONCAT_FUSE:
+        out = _w_rinv_core(jnp.concatenate([a0r, a1r], axis=0),
+                           jnp.concatenate([a0i, a1i], axis=0),
+                           n1, n2, scale, mats)
+        img_ref[:] = out[:br].astype(img_ref.dtype)
+        fwd_ref[:] = out[br:].astype(fwd_ref.dtype)
+        return
     img_ref[:] = _w_rinv_core(a0r, a0i, n1, n2, scale,
                               mats).astype(img_ref.dtype)
     fwd_ref[:] = _w_rinv_core(a1r, a1i, n1, n2, scale,
@@ -1415,8 +1553,14 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
-    image = _w_rinv_core(a0r, a0i, n1, n2, scale, imats)
-    fwd = _w_rinv_core(a1r, a1i, n1, n2, scale, imats)
+    if _CONCAT_FUSE:
+        out = _w_rinv_core(jnp.concatenate([a0r, a1r], axis=0),
+                           jnp.concatenate([a0i, a1i], axis=0),
+                           n1, n2, scale, imats)
+        image, fwd = out[:br], out[br:]
+    else:
+        image = _w_rinv_core(a0r, a0i, n1, n2, scale, imats)
+        fwd = _w_rinv_core(a1r, a1i, n1, n2, scale, imats)
     img_ref[:] = image.astype(img_ref.dtype)
 
     xi = mu1 * fwd - v_ref[:].astype(f32)
@@ -1558,7 +1702,10 @@ def ifft_h_dual(vr, vi, hr, hi, h):
     fhr = hr.reshape(n1, n2, w)
     fhi = hi.reshape(n1, n2, w)
     a0r, a0i, a1r, a1i = h_passB_dual(xr, xi, fhr, fhi, h)
-    z0r, z0i = h_passA(a0r, a0i, h, True)
-    z1r, z1i = h_passA(a1r, a1i, h, True)
+    if _CONCAT_FUSE:
+        (z0r, z0i), (z1r, z1i) = h_passA_pair(a0r, a0i, a1r, a1i, h, True)
+    else:
+        z0r, z0i = h_passA(a0r, a0i, h, True)
+        z1r, z1i = h_passA(a1r, a1i, h, True)
     return ((z0r.reshape(h, w), z0i.reshape(h, w)),
             (z1r.reshape(h, w), z1i.reshape(h, w)))

@@ -148,13 +148,25 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
     row-sharded on the same axis.
 
     backend: "xla" — jnp.fft pencil stages (any shape);
-             "pallas" — split-order matmul-FFT Pallas kernels for the
-             pencil stages (:func:`spatial_sharded_admm_pallas`);
-             "auto" — pallas on TPU when the padded grid divides the
-             mesh and Mosaic accepts the tile shapes, else xla.
+             "rpallas" — half-spectrum packed-real Pallas pencil
+             pipeline (:func:`spatial_sharded_admm_rpallas`): half-width
+             all_to_alls, fused dual-inverse H chain, carry-rebuild
+             state — the fastest path;
+             "pallas" — full-width split-order matmul-FFT kernels
+             (:func:`spatial_sharded_admm_pallas`);
+             "auto" — rpallas on TPU when the padded grid divides the
+             mesh and Mosaic accepts the tile shapes, else the
+             full-width pallas path, else xla.
     """
     if backend == "auto":
-        backend = "pallas" if _pallas_spatial_ok(mesh, conv) else "xla"
+        if _pallas_rspatial_ok(mesh, conv):
+            backend = "rpallas"
+        elif _pallas_spatial_ok(mesh, conv):
+            backend = "pallas"
+        else:
+            backend = "xla"
+    if backend == "rpallas":
+        return spatial_sharded_admm_rpallas(mesh, conv, data, params, n_iter)
     if backend == "pallas":
         return spatial_sharded_admm_pallas(mesh, conv, data, params, n_iter)
     assert AXIS in mesh.axis_names
@@ -472,3 +484,310 @@ def _psi_gram_full(ph: int, pw: int) -> np.ndarray:
     kern[0, 0] = 4.0
     kern[0, 1] = kern[0, -1] = kern[1, 0] = kern[-1, 0] = -1.0
     return np.abs(np.fft.fft2(kern)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# half-spectrum (packed-real) pencil backend — the round-2/3 single-chip
+# kernel pipeline ported to the sharded solver:
+#
+# * packed-real W transforms (pk2.rfft_w / irfft_w_dual): every
+#   all_to_all payload HALVES vs the full-width pencil path (a real
+#   plane's W spectrum rides as (rows, Pw/2) r/i instead of (rows, Pw));
+# * ONE fused H-axis kernel chain (pk2.fft_h_combine_dual) runs the
+#   forward H transform of both planes, the ADMM spectrum combine
+#   F = R (A + conj(H) B), the H-filter multiply, and the dual inverse
+#   H transform — the combined spectrum never crosses HBM;
+# * dual W-inverse (pk2.irfft_w_dual) produces image and forward
+#   estimate from one kernel, with the exact DC/Nyquist packed-lane
+#   patch applied in-kernel;
+# * per iteration: 2 kernel-chain transforms + 2 all_to_alls (vs the
+#   full-width path's 4 transforms + 4 a2a pairs) + one tiny all_gather
+#   (the (Ph,)-column DC/Nyquist patch inputs) + 2 one-row ppermutes
+#   (TV halos).  The rk/v forward spectra ride ONE stacked a2a, the
+#   image/forward inverse spectra the other.
+#
+# The carry-rebuild state scheme (duals never stored) is inherited from
+# the XLA elementwise block.  Exact-consistency tested vs the
+# single-device solver on the 8-device CPU mesh.
+# ---------------------------------------------------------------------------
+
+
+def _split_roll_p1_last(x, mh):
+    """jnp.roll(+1) along the natural W axis for split-lane-layout
+    last-axis planes (axis-last analog of pk2._split_roll_p1)."""
+    ev, od = x[..., :mh], x[..., mh:]
+    od_r = jnp.concatenate([od[..., -1:], od[..., :-1]], axis=-1)
+    return jnp.concatenate([od_r, ev], axis=-1)
+
+
+def _split_roll_m1_last(x, mh):
+    ev, od = x[..., :mh], x[..., mh:]
+    ev_r = jnp.concatenate([ev[..., 1:], ev[..., :1]], axis=-1)
+    return jnp.concatenate([od, ev_r], axis=-1)
+
+
+def _to_split_last(x):
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+def _from_split_last(x):
+    mh = x.shape[-1] // 2
+    return jnp.stack([x[..., :mh], x[..., mh:]],
+                     axis=-1).reshape(*x.shape[:-1], 2 * mh)
+
+
+def _pallas_rspatial_ok(mesh: Mesh, conv: FFTConvolver) -> bool:
+    """True when the half-spectrum pencil path can run: even padded
+    dims, rows and the half-W axis divide the 'sp' axis, and on real
+    TPU the Mosaic tile-alignment rules hold for both the packed-real
+    W kernels (full local Pw) and the H kernels (Pw/2/n-wide pencils)."""
+    from ..ops import pallas_kernels2 as pk2
+    from ..ops.pallas_fft import _factor
+
+    if AXIS not in mesh.axis_names:
+        return False
+    n = mesh.shape[AXIS]
+    depth, ph, pw, ch = conv.padded_shape
+    mh = pw // 2
+    if pw % 2 or ph % n or mh % n or not conv.shift_folded:
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False  # interpret-mode pallas is test-only, not a default
+    cols = mh // n
+    n1h, n2h = _factor(ph)
+    return (pk2.rfused_mosaic_ok(ph, pw) and cols % 128 == 0
+            and n2h % 128 == 0 and n1h % 8 == 0)
+
+
+def spatial_sharded_admm_rpallas(mesh: Mesh, conv: FFTConvolver, data,
+                                 params: ADMMParams = ADMMParams(),
+                                 n_iter: int = 100):
+    """Row-sharded ADMM on the half-spectrum packed-real pencil backend
+    (see block comment above).  Same algebra and output as
+    :func:`spatial_sharded_admm`.
+
+    On non-TPU platforms the kernels execute in interpret mode (slow;
+    used by the 8-device CPU-mesh shard-consistency tests)."""
+    from ..ops import pallas_kernels2 as pk2
+
+    assert AXIS in mesh.axis_names
+    assert conv.shift_folded, (
+        "spatial_sharded_admm_rpallas requires an even-padded convolver")
+    n_shards = mesh.shape[AXIS]
+    depth, ph, pw, ch = conv.padded_shape
+    mh = pw // 2
+    assert pw % 2 == 0 and ph % n_shards == 0 and mh % n_shards == 0, (
+        f"padded dims {(ph, pw)} must divide the {n_shards}-way 'sp' axis")
+    nplanes = depth * ch
+    mu1, mu2, mu3 = params.mu1, params.mu2, params.mu3
+
+    # ---- host-side per-plane half-spectra (split order both axes) +
+    # the exact DC (kw=0) / Nyquist (kw=M) patch columns (natural H) ----
+    H_half_dev = (np.asarray(jnp.real(conv.H))
+                  + 1j * np.asarray(jnp.imag(conv.H))).astype(np.complex64)
+    psi_full = _psi_gram_full(ph, pw)
+    Hr_pl = np.empty((nplanes, ph, mh), np.float32)
+    Hi_pl = np.empty((nplanes, ph, mh), np.float32)
+    R_pl = np.empty((nplanes, ph, mh), np.float32)
+    H0_pl = np.empty((nplanes, ph), np.complex64)
+    HM_pl = np.empty((nplanes, ph), np.complex64)
+    R0_pl = np.empty((nplanes, ph), np.float32)
+    RM_pl = np.empty((nplanes, ph), np.float32)
+    for d in range(depth):
+        for c in range(ch):
+            Hf = _full_from_half(H_half_dev[d, :, :, c], pw)
+            Rf = (1.0 / (mu1 * np.abs(Hf) ** 2 + mu2 * psi_full + mu3)
+                  ).astype(np.float32)
+            k = d * ch + c
+            Hh = pf.spectrum_to_half_split(Hf)
+            Hr_pl[k], Hi_pl[k] = Hh.real, Hh.imag
+            R_pl[k] = pf.spectrum_to_half_split(Rf).real
+            H0_pl[k], HM_pl[k] = Hf[:, 0], Hf[:, mh]
+            R0_pl[k], RM_pl[k] = Rf[:, 0], Rf[:, mh]
+
+    # ---- plane-major split-layout data + fidelity weights ----
+    dtype = jnp.float32
+    data = jnp.asarray(data, dtype)
+    if data.ndim == 3:
+        data = data[None, None]
+    elif data.ndim == 4:
+        data = data[None]
+    batch = data.shape[0]
+    data_pad = conv.pad_input(data)
+    data_pl = _to_split_last(
+        jnp.moveaxis(data_pad, -1, 2).reshape(batch, nplanes, ph, pw))
+    ones = conv.pad_input(jnp.ones((depth,) + conv.psf_shape[-3:-1] + (ch,),
+                                   dtype))
+    Xdiv_pl = _to_split_last(
+        jnp.moveaxis(1.0 / (ones + mu1), -1, 1).reshape(nplanes, ph, pw))
+
+    pencil_sh = NamedSharding(mesh, P(None, None, AXIS))  # (P, Ph, cols)
+    row3_sh = NamedSharding(mesh, P(None, AXIS))          # (P, rows, Pw)
+    row4_sh = NamedSharding(mesh, P(None, None, AXIS))    # (B, P, rows, Pw)
+    rep_sh = NamedSharding(mesh, P())                     # replicated cols
+    Hr_s = jax.device_put(jnp.asarray(Hr_pl), pencil_sh)
+    Hi_s = jax.device_put(jnp.asarray(Hi_pl), pencil_sh)
+    R_s = jax.device_put(jnp.asarray(R_pl), pencil_sh)
+    Xdiv_s = jax.device_put(Xdiv_pl, row3_sh)
+    data_s = jax.device_put(data_pl, row4_sh)
+    patch = tuple(
+        jax.device_put(jnp.asarray(a), rep_sh)
+        for a in (H0_pl.real, H0_pl.imag, HM_pl.real, HM_pl.imag,
+                  R0_pl, RM_pl))
+
+    interpret = jax.devices()[0].platform != "tpu"
+    run = _build_rpallas_run(mesh, ph, pw, params, n_iter)
+
+    with pk2.forced_interpret(interpret):
+        padded_pl = run(Hr_s, Hi_s, R_s, Xdiv_s, data_s, *patch)
+    padded = jnp.moveaxis(
+        _from_split_last(padded_pl).reshape(batch, depth, ch, ph, pw), 2, -1)
+    return conv.crop(padded)
+
+
+def ici_traffic_model(ph: int, pw: int, n_shards: int, nplanes: int = 1,
+                      batch: int = 1, bytes_per_el: int = 4) -> dict:
+    """Modeled per-iteration ICI traffic of the half-spectrum pencil
+    solver at a padded grid: 2 stacked all_to_alls of 4 half-width
+    planes each (each device sends (n-1)/n of its shard), one (Ph,)
+    all_gather x 4 columns, and 4 one-row ppermutes.  Returned dict is
+    what ``__graft_entry__.dryrun_multichip`` records."""
+    mh = pw // 2
+    frac = (n_shards - 1) / n_shards
+    a2a_bytes = 2 * (4 * batch * nplanes * (ph // n_shards) * mh
+                     * bytes_per_el) * frac
+    gather_bytes = 4 * batch * nplanes * ph * bytes_per_el * frac
+    halo_bytes = 4 * batch * nplanes * pw * bytes_per_el
+    full_width_a2a = 2 * a2a_bytes  # the full-width pencil path's cost
+    return {
+        "a2a_bytes_per_iter": a2a_bytes,
+        "gather_bytes_per_iter": gather_bytes,
+        "halo_bytes_per_iter": halo_bytes,
+        "total_ici_bytes_per_iter": a2a_bytes + gather_bytes + halo_bytes,
+        "vs_full_width_a2a_bytes": full_width_a2a,
+    }
+
+
+def _build_rpallas_run(mesh: Mesh, ph: int, pw: int, params: ADMMParams,
+                       n_iter: int):
+    """The jitted shard_map'd half-spectrum pencil ADMM loop; factored
+    out so the multi-chip dryrun can abstractly evaluate it at the
+    12 MP-padded grid shape (jax.eval_shape) without host-side
+    spectra."""
+    from ..ops import pallas_kernels2 as pk2
+
+    mu1, mu2, mu3, tau = params.mu1, params.mu2, params.mu3, params.tau
+    mh = pw // 2
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, None, AXIS),
+                  P(None, None, AXIS), P(None, AXIS), P(None, None, AXIS),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=P(None, None, AXIS),
+        check_vma=False,
+    )
+    def run(Hr_l, Hi_l, R_l, Xdiv_l, data_l,
+            H0r, H0i, HMr, HMi, R0, RM):
+        f32 = jnp.float32
+        nplanes = data_l.shape[1]
+        rows = data_l.shape[2]
+        H0 = jax.lax.complex(H0r, H0i)
+        HM = jax.lax.complex(HMr, HMi)
+
+        vm_rw = jax.vmap(jax.vmap(pk2.rfft_w))
+        vm_hcd = jax.vmap(jax.vmap(
+            lambda a, b, c, d, hr, hi, rr: pk2.fft_h_combine_dual(
+                a, b, c, d, hr, hi, rr, ph)),
+            in_axes=(0, 0, 0, 0, None, None, None))
+        vm_iwd = jax.vmap(jax.vmap(pk2.irfft_w_dual))
+
+        def a2a_fwd(x):   # (B, S, rows, mh) -> (B, S, Ph, cols)
+            return jax.lax.all_to_all(x, AXIS, split_axis=3, concat_axis=2,
+                                      tiled=True)
+
+        def a2a_inv(x):
+            return jax.lax.all_to_all(x, AXIS, split_axis=2, concat_axis=3,
+                                      tiled=True)
+
+        def roll_rows(x, up):
+            if up:
+                first = _ppermute_shift(x[..., :1, :], forward=False)
+                return jnp.concatenate([x[..., 1:, :], first], axis=-2)
+            last = _ppermute_shift(x[..., -1:, :], forward=True)
+            return jnp.concatenate([last, x[..., :-1, :]], axis=-2)
+
+        def dc_patch(col_rk_r, col_rk_i, col_v_r, col_v_i):
+            """Exact DC/Nyquist packed-lane columns: (B, P, rows_local)
+            slices are all_gathered to full (Ph,) columns (tiny), the
+            four length-Ph FFP chains run replicated, and each shard
+            keeps its own row block."""
+            gat = lambda c: jax.lax.all_gather(
+                c.astype(f32), AXIS, axis=2, tiled=True)
+            cols = jnp.stack([gat(col_rk_r), gat(col_rk_i),
+                              gat(col_v_r), gat(col_v_i)])  # (4, B, P, Ph)
+            A0, AM, B0, BM = jnp.fft.fft(cols, axis=-1)
+            F0 = R0 * (A0 + jnp.conj(H0) * B0)
+            FM = RM * (AM + jnp.conj(HM) * BM)
+            outs = jnp.fft.ifft(jnp.stack([F0, FM, H0 * F0, HM * FM]),
+                                axis=-1).real
+            outs = jax.lax.dynamic_slice_in_dim(
+                outs, _my_idx() * rows, rows, axis=-1)
+            zc = jnp.zeros(outs.shape[1:3] + (rows, 128), f32)
+            return tuple(zc.at[..., 0].set(outs[k]) for k in range(4))
+
+        zeros = data_l * 0.0
+        state = dict(image=zeros, forward_out=zeros, v=zeros, b=zeros,
+                     a0=zeros, a1=zeros)
+
+        def body(_, s):
+            # --- local carry-rebuild elementwise block (split layout) ---
+            psi0 = roll_rows(s["image"], up=False) - s["image"]
+            psi1 = _split_roll_p1_last(s["image"], mh) - s["image"]
+            eta0_eff = mu2 * psi0 - s["a0"]
+            eta1_eff = mu2 * psi1 - s["a1"]
+            U0 = soft_thresh(psi0 + eta0_eff / mu2, tau / mu2)
+            U1 = soft_thresh(psi1 + eta1_eff / mu2, tau / mu2)
+            a0 = mu2 * U0 - eta0_eff
+            a1 = mu2 * U1 - eta1_eff
+            xi = mu1 * s["forward_out"] - s["v"]
+            X = Xdiv_l * (xi + mu1 * s["forward_out"] + data_l)
+            v = mu1 * X - xi
+            rho = mu3 * s["image"] - s["b"]
+            W = jnp.maximum(rho / mu3 + s["image"], 0.0)
+            b = mu3 * W - rho
+            rk = (b
+                  + (roll_rows(a0, up=True) - a0)
+                  + (_split_roll_m1_last(a1, mh) - a1))
+
+            # --- packed-real W forward of rk and v, ONE vmapped kernel
+            # call (planes stacked) and ONE stacked forward a2a ---
+            zr, zi = vm_rw(jnp.concatenate([rk, v], axis=1))
+            p0, p1, pf_, pm = dc_patch(zr[..., 0][:, :nplanes],
+                                       zi[..., 0][:, :nplanes],
+                                       zr[..., 0][:, nplanes:],
+                                       zi[..., 0][:, nplanes:])
+            big = a2a_fwd(jnp.concatenate([zr, zi], axis=1))
+            rkr, vr = big[:, :nplanes], big[:, nplanes:2 * nplanes]
+            rki, vi = (big[:, 2 * nplanes:3 * nplanes],
+                       big[:, 3 * nplanes:])
+
+            # --- fused H chain: fwd both + combine + dual inverse ---
+            (f0r, f0i), (f1r, f1i) = vm_hcd(rkr, rki, vr, vi,
+                                            Hr_l, Hi_l, R_l)
+            big2 = a2a_inv(jnp.concatenate([f0r, f1r, f0i, f1i], axis=1))
+
+            # --- dual packed-real W inverse with the DC patch ---
+            image, forward_out = vm_iwd(
+                big2[:, :nplanes], big2[:, 2 * nplanes:3 * nplanes],
+                big2[:, nplanes:2 * nplanes], big2[:, 3 * nplanes:],
+                p0, p1, pf_, pm)
+            return dict(image=image.astype(f32),
+                        forward_out=forward_out.astype(f32),
+                        v=v, b=b, a0=a0, a1=a1)
+
+        state = jax.lax.fori_loop(0, n_iter, body, state)
+        return jnp.maximum(state["image"], 0.0)
+
+    return run

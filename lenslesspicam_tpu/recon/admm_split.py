@@ -319,17 +319,16 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         if skip_dc:
             z = jnp.zeros((ph,), f32)
             return z, z, z, z
-        A0 = jnp.fft.fft(rkr[:, 0].astype(f32))
-        AM = jnp.fft.fft(rki[:, 0].astype(f32))
-        B0 = jnp.fft.fft(vr_[:, 0].astype(f32))
-        BM = jnp.fft.fft(vi_[:, 0].astype(f32))
+        # one batched length-ph FFT for the four analysis columns and one
+        # for the four synthesis columns (XLA runs a single batched fft
+        # op instead of eight serialized ones)
+        cols = jnp.stack([rkr[:, 0], rki[:, 0], vr_[:, 0], vi_[:, 0]])
+        A0, AM, B0, BM = jnp.fft.fft(cols.astype(f32), axis=-1)
         F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
         FM = pre.RM * (AM + jnp.conj(HM) * BM)
-        i0 = jnp.fft.ifft(F0).real
-        iM = jnp.fft.ifft(FM).real
-        f0 = jnp.fft.ifft(H0 * F0).real
-        fM = jnp.fft.ifft(HM * FM).real
-        return i0, iM, f0, fM
+        outs = jnp.fft.ifft(jnp.stack([F0, FM, H0 * F0, HM * FM]),
+                            axis=-1).real
+        return outs[0], outs[1], outs[2], outs[3]
 
     if use_v3:
         # iteration-0 v carry: with all other state zero the first X

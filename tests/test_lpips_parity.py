@@ -1,0 +1,118 @@
+"""LPIPS torch->flax conversion parity.
+
+Builds a state dict in the exact key layout of the ``lpips`` package's
+LPIPS(net='vgg') checkpoint (torchvision ``features.N.{weight,bias}``
+convs + ``lin{i}.model.1.weight`` heads), runs the reference forward
+algebra in torch (Zhang et al. 2018: scaling layer, VGG16 trunk,
+unit-normalize with eps outside the sqrt, squared diff, non-negative
+1x1 heads, spatial average — lpips/lpips.py), and asserts the flax
+module with converted weights matches.  Guards the key-mapping code
+that every reported LPIPS number rests on
+(reference loss path: lensless/recon/utils.py:741-758).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from lenslesspicam_tpu.eval import lpips as jlpips
+
+
+def _build_state_dict(rng):
+    """Random weights in the lpips-checkpoint key layout."""
+    sd = {}
+    idx = 0
+    in_ch = 3
+    for stage_idx, (ch, n_convs) in enumerate(jlpips._VGG_STAGES):
+        for _ in range(n_convs):
+            w = rng.randn(ch, in_ch, 3, 3).astype(np.float32) * 0.1
+            b = rng.randn(ch).astype(np.float32) * 0.1
+            sd[f"features.{idx}.weight"] = torch.tensor(w)
+            sd[f"features.{idx}.bias"] = torch.tensor(b)
+            in_ch = ch
+            idx += 2  # conv + relu
+        idx += 1  # maxpool
+    for i, (ch, _) in enumerate(jlpips._VGG_STAGES):
+        # pretrained lpips lin heads are non-negative; keep the random
+        # ones non-negative too so torch (w) and flax (|w|) agree
+        w = np.abs(rng.randn(1, ch, 1, 1).astype(np.float32)) * 0.05
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(w)
+    return sd
+
+
+def _torch_lpips_forward(sd, pred_nchw, tgt_nchw):
+    """The lpips package forward, verbatim algebra (normalize=True)."""
+    import torch.nn.functional as F
+
+    shift = torch.tensor(jlpips._SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(jlpips._SCALE).view(1, 3, 1, 1)
+
+    def prep(x):
+        return (2.0 * x - 1.0 - shift) / scale
+
+    def vgg_feats(x):
+        feats = []
+        idx = 0
+        for stage_idx, (_, n_convs) in enumerate(jlpips._VGG_STAGES):
+            for _ in range(n_convs):
+                x = F.conv2d(x, sd[f"features.{idx}.weight"],
+                             sd[f"features.{idx}.bias"], padding=1)
+                x = F.relu(x)
+                idx += 2
+            feats.append(x)
+            if stage_idx < len(jlpips._VGG_STAGES) - 1:
+                x = F.max_pool2d(x, 2, 2)
+                idx += 1
+        return feats
+
+    fa = vgg_feats(prep(pred_nchw))
+    fb = vgg_feats(prep(tgt_nchw))
+    val = 0.0
+    for i, (a, b) in enumerate(zip(fa, fb)):
+        na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        diff = (na - nb) ** 2
+        w = sd[f"lin{i}.model.1.weight"]
+        val = val + (diff * w).sum(1).mean(dim=(1, 2))
+    return val
+
+
+def test_lpips_conversion_forward_parity(tmp_path):
+    rng = np.random.RandomState(0)
+    sd = _build_state_dict(rng)
+    ckpt = tmp_path / "lpips_vgg.pth"
+    torch.save(sd, ckpt)
+
+    pred = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tgt = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_lpips_forward(
+            sd, torch.tensor(pred.transpose(0, 3, 1, 2)),
+            torch.tensor(tgt.transpose(0, 3, 1, 2))).numpy()
+
+    variables = jlpips.load_torch_lpips(str(ckpt))
+    out = np.asarray(jlpips.LPIPS().apply(variables, pred, tgt))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lpips_conversion_net_prefixed_keys(tmp_path):
+    """The merged-checkpoint layout (net.features.N.*) converts too."""
+    rng = np.random.RandomState(1)
+    sd = _build_state_dict(rng)
+    sd2 = {(f"net.{k}" if k.startswith("features.") else k): v
+           for k, v in sd.items()}
+    ckpt = tmp_path / "lpips_merged.pth"
+    torch.save(sd2, ckpt)
+
+    pred = rng.rand(1, 32, 32, 3).astype(np.float32)
+    tgt = rng.rand(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_lpips_forward(
+            sd, torch.tensor(pred.transpose(0, 3, 1, 2)),
+            torch.tensor(tgt.transpose(0, 3, 1, 2))).numpy()
+    variables = jlpips.load_torch_lpips(str(ckpt))
+    out = np.asarray(jlpips.LPIPS().apply(variables, pred, tgt))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

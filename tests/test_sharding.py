@@ -163,3 +163,36 @@ def test_spatial_sharded_admm_pallas_consistency():
     sharded = np.asarray(
         spatial_sharded_admm(mesh, conv, data, n_iter=5, backend="pallas"))
     np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+def test_spatial_sharded_admm_rpallas_consistency():
+    """Half-spectrum packed-real pencil backend == single-device ADMM:
+    the round-2/3 single-chip kernel pipeline (half-width a2a payloads,
+    fused dual-inverse H chain, in-kernel DC/Nyquist patch, carry
+    rebuild) ported to the sharded solver.  Interpret-mode kernels on
+    the CPU mesh; gated by rfused-style Mosaic checks on real TPU."""
+    from jax.sharding import Mesh
+    from lenslesspicam_tpu.parallel.spatial import spatial_sharded_admm
+
+    rng = np.random.RandomState(10)
+    psf = rng.rand(1, 32, 48, 3).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    data = rng.rand(2, 1, 32, 48, 3).astype(np.float32)
+
+    conv = admm.make_convolver(psf)
+    single = np.asarray(admm.run_jit(conv, data, n_iter=5))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    sharded = np.asarray(
+        spatial_sharded_admm(mesh, conv, data, n_iter=5, backend="rpallas"))
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+def test_ici_traffic_model():
+    """The dryrun's modeled ICI report: half-spectrum pencils move half
+    the full-width path's a2a bytes."""
+    from lenslesspicam_tpu.parallel.spatial import ici_traffic_model
+
+    rep = ici_traffic_model(6144, 8192, 8)
+    assert rep["a2a_bytes_per_iter"] * 2 == rep["vs_full_width_a2a_bytes"]
+    assert rep["total_ici_bytes_per_iter"] > 0
