@@ -339,23 +339,34 @@ def time_admm_mode(shape, mode, n_iter=30, base_iter=2, repeats=3,
     data = rng.rand(b, 1, *shape, ch).astype(np.float32)
 
     backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
+    # pass every precompute plane as a jit ARG: closed-over arrays become
+    # HLO constants, and at 12MP RGB that is >1 GB baked into the remote
+    # compile request (docs/tpu_runtime_notes.md — the 413/oom trap)
     if backend == "rfused":
         pre, info = admm_split.precompute_rsplit_general(psf, data)
+        arr_fields = ("Hr", "Hi", "R", "mask", "data_pad",
+                      "H0r", "H0i", "HMr", "HMi", "R0", "RM")
 
         @jax.jit
-        def run_sum(d, n):
-            out = admm_split.run_rsplit_general(pre, info, d, n_iter=n)
+        def run_sum(arrs, d, n):
+            p = admm_split.RSplitPrecomp(
+                *arrs, pre.psf_shape, pre.padded_shape, pre.start)
+            out = admm_split.run_rsplit_general(p, info, d, n_iter=n)
             return out[:, :, ::499, ::499].sum()
     else:
         pre, info = admm_split.precompute_split_general(psf, data)
+        arr_fields = ("Hr", "Hi", "R", "X_divmat", "data_pad")
 
         @jax.jit
-        def run_sum(d, n):
-            out = admm_split.run_split_general(pre, info, d, n_iter=n,
+        def run_sum(arrs, d, n):
+            p = admm_split.SplitPrecomp(
+                *arrs, pre.psf_shape, pre.padded_shape, pre.start)
+            out = admm_split.run_split_general(p, info, d, n_iter=n,
                                                backend=backend)
             return out[:, :, ::499, ::499].sum()
 
-    return _timed(lambda k: float(run_sum(data, k)), base_iter, n_iter,
+    arrs = tuple(getattr(pre, f) for f in arr_fields)
+    return _timed(lambda k: float(run_sum(arrs, data, k)), base_iter, n_iter,
                   repeats)
 
 

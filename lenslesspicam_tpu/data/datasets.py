@@ -1101,7 +1101,7 @@ class HITLDatasetTrainableMask(DualDataset):
         pattern = np.asarray(self.mask.params.get("vals"))
         remote.set_programmable_mask(pattern, rpi_username=self.rpi_username,
                                      rpi_hostname=self.rpi_hostname)
-        fp = remote.capture(self.rpi_username, self.rpi_hostname,
-                            localdir="/tmp", **self.capture_kwargs)
+        fp, _ = remote.capture(self.rpi_username, self.rpi_hostname,
+                               output_path="/tmp", **self.capture_kwargs)
         lensless = load_image(fp, return_float=True)
         return lensless, lensed

@@ -38,31 +38,114 @@ def check_username_hostname(rpi_username, rpi_hostname, timeout=10):
 def capture(
     rpi_username,
     rpi_hostname,
-    fn="capture",
-    exp=0.02,
-    iso=100,
+    sensor="rpi_hq",
     bayer=True,
+    exp=0.02,
+    fn="capture",
+    iso=100,
+    config_pause=2,
+    sensor_mode="0",
     nbits_out=12,
-    localdir=".",
-    remote_script="~/LenslessPiCam/scripts/measure/on_device_capture.py",
+    legacy=True,
+    rgb=False,
+    gray=False,
+    nbits=12,
+    down=None,
+    awb_gains=None,
+    rpi_python="~/LenslessPiCam/lensless_env/bin/python",
+    capture_script="~/LenslessPiCam/scripts/measure/on_device_capture.py",
+    verbose=False,
+    output_path=None,
     **kwargs,
 ):
-    """Capture on the RPi over SSH and scp the file back
-    (hardware/utils.py:23-238)."""
+    """Capture on the RPi over SSH, scp the file back, and load it
+    (full host-side contract of reference hardware/utils.py:23-238).
+
+    Returns ``(localfile, img)``: the local path of the retrieved file
+    and the loaded (and, for raw Bayer, ISP-converted) array.  The
+    on-device tool prints a ``key : value`` report (distribution,
+    frozen AWB gains) that is parsed here to pick the retrieval path
+    and the demosaic gains."""
+    from lenslesspicam_tpu.hardware.sensor import SensorOptions
+
+    assert sensor in SensorOptions.values(), (
+        f"sensor must be one of {SensorOptions.values()}")
     check_username_hostname(rpi_username, rpi_hostname).close()
-    remote_fn = f"{fn}.png" if not bayer else f"{fn}.dng"
-    cmd = (
-        f"ssh {rpi_username}@{rpi_hostname} "
-        f"'python {remote_script} fn={fn} exp={exp} iso={iso} bayer={bayer} "
-        f"nbits_out={nbits_out}'"
+
+    remote_fn = "remote_capture"
+    pic_command = (
+        f"{rpi_python} {capture_script} sensor={sensor} bayer={bayer} "
+        f"fn={remote_fn} exp={exp} iso={iso} config_pause={config_pause} "
+        f"sensor_mode={sensor_mode} nbits_out={nbits_out} "
+        f"legacy={legacy} rgb={rgb} gray={gray}"
     )
-    subprocess.run(cmd, shell=True, check=True)
-    local_path = os.path.join(localdir, remote_fn)
-    subprocess.run(
-        f"scp {rpi_username}@{rpi_hostname}:~/{remote_fn} {local_path}",
-        shell=True, check=True,
+    if nbits > 8:
+        pic_command += " sixteen=True"
+    if down:
+        pic_command += f" down={down}"
+    if awb_gains:
+        pic_command += f" awb_gains=[{awb_gains[0]},{awb_gains[1]}]"
+    if verbose:
+        print(f"COMMAND : {pic_command}")
+
+    ssh = subprocess.Popen(
+        ["ssh", f"{rpi_username}@{rpi_hostname}", pic_command],
+        shell=False, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
-    return local_path
+    result = [line.decode("utf-8") for line in ssh.stdout.readlines()]
+    error = [line.decode("utf-8") for line in ssh.stderr.readlines()]
+    # the libcamera stack logs to stderr even on success
+    if error and legacy:
+        raise RuntimeError(f"remote capture failed: {error}")
+    if not result:
+        raise RuntimeError(f"remote capture produced no output: {error}")
+    report = {}
+    for line in result:
+        if ":" in line and len(line) > 3:
+            key, _, val = line.partition(":")
+            report[key.strip()] = val.strip()
+    if verbose:
+        print("COMMAND OUTPUT :", report)
+
+    from lenslesspicam_tpu.data.io import load_image
+
+    def _scp(remote, local):
+        subprocess.run(
+            f'scp "{rpi_username}@{rpi_hostname}:{remote}" {local}',
+            shell=True, check=True, capture_output=not verbose,
+        )
+
+    modern = "bullseye" in report.get("RPi distribution", "") and not legacy
+    if modern and bayer:
+        localfile = f"{fn}.dng"
+        if output_path is not None:
+            localfile = os.path.join(output_path, localfile)
+        _scp(f"~/{remote_fn}.dng", localfile)
+        img = load_image(localfile, verbose=verbose, bayer=bayer,
+                         nbits_out=nbits_out)
+    else:
+        localfile = f"{fn}.png"
+        if output_path is not None:
+            localfile = os.path.join(output_path, localfile)
+        _scp(f"~/{remote_fn}.png", localfile)
+        if modern or rgb or gray:
+            img = load_image(localfile, verbose=verbose)
+        else:
+            # raw legacy PNG: demosaic locally with the frozen gains the
+            # device reported (or the requested awb_gains for ISP output)
+            if bayer:
+                red_gain = float(report.get("Red gain", 0) or 0) or None
+                blue_gain = float(report.get("Blue gain", 0) or 0) or None
+            else:
+                red_gain, blue_gain = awb_gains
+            img = load_image(localfile, verbose=verbose, bayer=bayer,
+                             blue_gain=blue_gain, red_gain=red_gain,
+                             nbits_out=nbits_out)
+            if not bayer:
+                import cv2
+
+                cv2.imwrite(localfile, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return localfile, img
 
 
 def display(

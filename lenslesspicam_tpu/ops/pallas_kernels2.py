@@ -1607,12 +1607,15 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
 def _e_block_rows_v3(m, w, which="E1R"):
     """Row-block for the v3 state kernels: fewer live buffers than the
     v2 carries, so larger blocks fit VMEM (fewer grid steps -> less
-    per-step matmul latency).  Default 32 (measured best at 12MP that
-    still fits the 16 MB scoped-VMEM limit); LPT_E_BLOCK3 overrides
-    both kernels, LPT_E1R_BLOCK / LPT_E2R_BLOCK individually."""
+    per-step matmul latency).  Default 32 with bf16 carries (measured
+    best at 12MP within the 16 MB scoped-VMEM limit); f32 carries double
+    the a0/a1/b/v block buffers, so the default drops to 16 (32 OOMs the
+    scoped allocation by ~3 MB at 12MP).  LPT_E_BLOCK3 overrides both
+    kernels, LPT_E1R_BLOCK / LPT_E2R_BLOCK individually."""
     env = (_os.environ.get(f"LPT_{which}_BLOCK")
            or _os.environ.get("LPT_E_BLOCK3"))
-    return _pick_block(m, int(env) if env else 32)
+    default = 32 if _CARRY_DTYPE == jnp.bfloat16 else 16
+    return _pick_block(m, int(env) if env else default)
 
 
 def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,

@@ -44,9 +44,9 @@ def main(config):
         )
 
     # 3. capture
-    raw_fp = remote.capture(
+    raw_fp, _ = remote.capture(
         config["rpi"]["username"], config["rpi"]["hostname"],
-        localdir=config["run_dir"], **config["capture"],
+        output_path=config["run_dir"], **config["capture"],
     )
 
     # 4. reconstruct

@@ -31,9 +31,11 @@ def main(config):
         remote.set_programmable_mask(pattern,
                                      rpi_username=config["rpi"]["username"],
                                      rpi_hostname=config["rpi"]["hostname"])
-        fp = remote.capture(config["rpi"]["username"], config["rpi"]["hostname"],
-                            fn=f"psf_{i:04d}", localdir=config["run_dir"],
-                            **config["capture"])
+        fp, _ = remote.capture(config["rpi"]["username"],
+                               config["rpi"]["hostname"],
+                               fn=f"psf_{i:04d}",
+                               output_path=config["run_dir"],
+                               **config["capture"])
         print(f"[{i}] {fp}")
 
 

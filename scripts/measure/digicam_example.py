@@ -114,12 +114,12 @@ def digicam(config):
             pattern, "adafruit", rpi_username=config["rpi"]["username"],
             rpi_hostname=config["rpi"]["hostname"])
         print("Capturing...")
-        localfile = remote.capture(
+        localfile, img = remote.capture(
             rpi_username=config["rpi"]["username"],
             rpi_hostname=config["rpi"]["hostname"],
-            exp=float(cap["exp"]), localdir=out_dir)
+            exp=float(cap["exp"]), output_path=out_dir)
         print(f"Captured to {localfile}")
-        img = np.asarray(load_image(localfile, verbose=True))
+        img = np.asarray(img)
 
     print("image range:", img.min(), img.max())
 

@@ -26,9 +26,9 @@ def main(config):
     from lenslesspicam_tpu.hardware import remote
 
     assert config["rpi"]["username"], "set rpi.username and rpi.hostname"
-    fp = remote.capture(
+    fp, _ = remote.capture(
         config["rpi"]["username"], config["rpi"]["hostname"],
-        localdir=config["run_dir"], **config["capture"],
+        output_path=config["run_dir"], **config["capture"],
     )
     print(f"captured {fp}")
 

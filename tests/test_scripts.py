@@ -292,3 +292,43 @@ def test_train_script_resume(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "resumed at epoch 1" in res.stdout
+
+
+def test_collect_dataset_dummy_resume(tmp_path):
+    """The acquisition loop's hardware-free surface: dummy mode copies
+    inputs through, resume skips existing outputs, the seeded mask pool
+    is generated and reused (reference
+    scripts/measure/collect_dataset_on_device.py recovery behavior)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        cv2.imwrite(str(in_dir / f"img_{i}.png"),
+                    (rng.rand(16, 24, 3) * 255).astype(np.uint8))
+    out = tmp_path / "out"
+    res = _run(
+        ["scripts/measure/collect_dataset_on_device.py",
+         f"input_dir={in_dir}", "dummy=True", "n_files=3",
+         "masks.n=2", "masks.shape=[4,5]", "masks.seed=1",
+         f"output_dir={out}"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    measured = os.path.join(out, "measured")
+    pngs = [f for f in os.listdir(measured) if f.endswith(".png")]
+    assert len(pngs) == 3
+    masks = os.listdir(os.path.join(measured, "masks"))
+    assert sorted(masks) == ["mask_0.npy", "mask_1.npy"]
+
+    # resume: same stable output dir, existing captures are skipped
+    res2 = _run(
+        ["scripts/measure/collect_dataset_on_device.py",
+         f"input_dir={in_dir}", "dummy=True", "n_files=4",
+         "masks.n=2", "masks.shape=[4,5]", "masks.seed=1",
+         f"output_dir={out}"],
+        cwd=REPO,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert "resuming at index 3" in res2.stdout
+    pngs = [f for f in os.listdir(measured) if f.endswith(".png")]
+    assert len(pngs) == 4
