@@ -300,8 +300,12 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
             rep = roofline_report(shape, iters_per_s=val,
                                   half_spectrum=(backend == "rfused"))
             print(f"roofline: {rep['bytes_per_iter'] / 1e9:.2f} GB/iter, "
-                  f"SOL {rep['sol_iters_per_s']:.1f} it/s, achieved "
-                  f"{100 * rep['fraction_of_sol']:.1f}% of HBM speed-of-light",
+                  f"HBM SOL {rep['sol_iters_per_s']:.1f} it/s "
+                  f"({100 * rep['fraction_of_sol']:.1f}%); "
+                  f"{rep['matmuls_per_iter']} matmuls/iter, MXU-issue bound "
+                  f"{rep['mxu_issue_iters_per_s']:.1f} it/s; combined bound "
+                  f"{rep['combined_bound_iters_per_s']:.1f} it/s "
+                  f"({100 * rep['fraction_of_combined']:.1f}%)",
                   file=sys.stderr)
             return val
         except Exception as e:

@@ -170,7 +170,10 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
     _, _, bw = xr_ref.shape
     # twiddle arrives PRE-BLOCKED host-side as (n2//bj, n1, bj) so the
     # kernel reads its (n1, bj) slice directly — the old (n2, n1) layout
-    # (sublane-sliced for alignment) needed an in-kernel transpose
+    # (sublane-sliced for alignment) needed an in-kernel transpose.
+    # With LPT_KSTACK the f1r/f1i refs hold the K-STACKED matrices
+    # ([F1r | -F1i] and [F1i | F1r], (n1, 2n1)) and each complex
+    # contraction is ONE matmul against [xr; xi].
     twr = tr[:][0][:, :, None]
     twi = ti[:][0][:, :, None]
     if twiddle_first:
@@ -180,14 +183,24 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
         xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
         xr = xr3.reshape(n1, bj * bw)
         xi = xi3.reshape(n1, bj * bw)
-        zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
-        zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
+        if _KSTACK:
+            x = jnp.concatenate([xr, xi], axis=0)
+            zr = _mm(f1r[:], x).reshape(n1, bj, bw)
+            zi = _mm(f1i[:], x).reshape(n1, bj, bw)
+        else:
+            zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
+            zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
     else:
         # forward: contract j1, then twiddle on the produced [k1, j2]
         xr = xr_ref[:].astype(jnp.float32).reshape(n1, bj * bw)
         xi = xi_ref[:].astype(jnp.float32).reshape(n1, bj * bw)
-        yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
-        yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
+        if _KSTACK:
+            x = jnp.concatenate([xr, xi], axis=0)
+            yr = _mm(f1r[:], x).reshape(n1, bj, bw)
+            yi = _mm(f1i[:], x).reshape(n1, bj, bw)
+        else:
+            yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
+            yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
         zr = yr * twr - yi * twi
         zi = yr * twi + yi * twr
     if scale != 1.0:
@@ -195,6 +208,12 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
         zi = zi * scale
     or_ref[:] = zr.astype(or_ref.dtype)
     oi_ref[:] = zi.astype(oi_ref.dtype)
+
+
+def _stack_s1(F1r, F1i):
+    """K-stacked stage-1 matrices for the pass-A kernels."""
+    return (jnp.concatenate([F1r, -F1i], axis=1),
+            jnp.concatenate([F1i, F1r], axis=1))
 
 
 def _pick_block(n, target):
@@ -233,6 +252,9 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     Trb = jnp.transpose(Tr.reshape(n1, n2 // bj, bj), (1, 0, 2))
     Tib = jnp.transpose(Ti.reshape(n1, n2 // bj, bj), (1, 0, 2))
     out_dt = _IO_DTYPE
+    m1r, m1i = (_stack_s1(F1r, F1i) if _KSTACK else (F1r, F1i))
+    mat_spec = pl.BlockSpec(m1r.shape, lambda j, k: (0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_h_passA_kernel, n1, bj, scale if inverse else 1.0, inverse),
         grid=(n2 // bj, w // bw),
@@ -241,7 +263,7 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
         out_shape=(jax.ShapeDtypeStruct((n1, n2, w), out_dt),
                    jax.ShapeDtypeStruct((n1, n2, w), out_dt)),
         interpret=_INTERPRET,
-    )(xr, xi, F1r, F1i, Trb, Tib)
+    )(xr, xi, m1r, m1i, Trb, Tib)
 
 
 def _h_passA_pair_kernel(n1, bj, scale, twiddle_first,
@@ -263,13 +285,23 @@ def _h_passA_pair_kernel(n1, bj, scale, twiddle_first,
         xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
         xr = xr3.reshape(n1, bj * 2 * bw)
         xi = xi3.reshape(n1, bj * 2 * bw)
-        zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
-        zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
+        if _KSTACK:
+            x = jnp.concatenate([xr, xi], axis=0)
+            zr = _mm(f1r[:], x).reshape(n1, bj, 2 * bw)
+            zi = _mm(f1i[:], x).reshape(n1, bj, 2 * bw)
+        else:
+            zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
+            zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
     else:
         xr = xr3.reshape(n1, bj * 2 * bw)
         xi = xi3.reshape(n1, bj * 2 * bw)
-        yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
-        yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
+        if _KSTACK:
+            x = jnp.concatenate([xr, xi], axis=0)
+            yr = _mm(f1r[:], x).reshape(n1, bj, 2 * bw)
+            yi = _mm(f1i[:], x).reshape(n1, bj, 2 * bw)
+        else:
+            yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
+            yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
         zr = yr * twr - yi * twi
         zi = yr * twi + yi * twr
     if scale != 1.0:
@@ -298,6 +330,9 @@ def h_passA_pair(x1r, x1i, x2r, x2i, n, inverse, bj=None, bw=None):
     Trb = jnp.transpose(Tr.reshape(n1, n2 // bj, bj), (1, 0, 2))
     Tib = jnp.transpose(Ti.reshape(n1, n2 // bj, bj), (1, 0, 2))
     shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
+    m1r, m1i = (_stack_s1(F1r, F1i) if _KSTACK else (F1r, F1i))
+    mat_spec = pl.BlockSpec(m1r.shape, lambda j, k: (0, 0),
+                            memory_space=pltpu.VMEM)
     z1r, z1i, z2r, z2i = pl.pallas_call(
         partial(_h_passA_pair_kernel, n1, bj, scale if inverse else 1.0,
                 inverse),
@@ -306,7 +341,7 @@ def h_passA_pair(x1r, x1i, x2r, x2i, n, inverse, bj=None, bw=None):
         out_specs=(data_spec,) * 4,
         out_shape=(shape,) * 4,
         interpret=_INTERPRET,
-    )(x1r, x1i, x2r, x2i, F1r, F1i, Trb, Tib)
+    )(x1r, x1i, x2r, x2i, m1r, m1i, Trb, Tib)
     return (z1r, z1i), (z2r, z2i)
 
 
@@ -722,11 +757,18 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
     kb, _, bw = xr_ref.shape
 
     def stage2(vr, vi, mr, mi):
+        # with LPT_KSTACK, mr/mi are the stacked ([F2 | -F2i], [F2i | F2])
+        # (n2, 2n2) matrices: one matmul per output against [vr; vi]
         wv = vr.shape[2]
         vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * wv)
         vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * wv)
-        zr = _mm(mr, vr2) - _mm(mi, vi2)
-        zi = _mm(mr, vi2) + _mm(mi, vr2)
+        if _KSTACK:
+            v = jnp.concatenate([vr2, vi2], axis=0)
+            zr = _mm(mr, v)
+            zi = _mm(mi, v)
+        else:
+            zr = _mm(mr, vr2) - _mm(mi, vi2)
+            zi = _mm(mr, vi2) + _mm(mi, vr2)
         return (jnp.swapaxes(zr.reshape(n2, kb, wv), 0, 1),
                 jnp.swapaxes(zi.reshape(n2, kb, wv), 0, 1))
 
@@ -796,6 +838,11 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
                             memory_space=pltpu.VMEM)
     F2fr, F2fi = _mats(h, False)[2:4]
     F2ir, F2ii = _mats(h, True)[2:4]
+    if _KSTACK:
+        F2fr, F2fi = _stack_s1(F2fr, F2fi)
+        F2ir, F2ii = _stack_s1(F2ir, F2ii)
+        mat_spec = pl.BlockSpec(F2fr.shape, lambda i, k: (0, 0),
+                                memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
     a0r, a0i, a1r, a1i = pl.pallas_call(
         partial(_h_combine_dual_kernel, n2),
@@ -1069,7 +1116,9 @@ def ifft_w_dual(a0r, a0i, a1r, a1i, block_rows=None):
 # ---------------------------------------------------------------------------
 
 
-_N_RMATS = 30
+_N_RMATS = 44  # 30 base + 14 K-stacked complex-matmul operands
+
+_KSTACK = _os.environ.get("LPT_KSTACK", "1") != "0"
 
 
 def _rplan_mats(n_full, inverse):
@@ -1127,6 +1176,32 @@ def _rplan_mats(n_full, inverse):
             np.ascontiguousarray(Tr), np.ascontiguousarray(Ti),
             np.ascontiguousarray(Tr[(-np.arange(n1)) % n1]),
             np.ascontiguousarray(Ti[(-np.arange(n1)) % n1]))
+
+    # K-stacked complex-matmul operands (LPT_KSTACK): every complex
+    # contraction A@x - B@y / B@x + A@y runs as ONE real matmul per
+    # output against [x; y] stacked along the contracted axis — the MXU
+    # instruction count of both cores roughly halves (the pipeline is
+    # issue-latency-bound at 12MP, not FLOPs-bound).
+    f2rb, f2ib = mats[12], mats[13]
+    f2ra, f2ia = mats[14], mats[15]
+    f2sbr, f2sbi = mats[20], mats[21]
+    f2sar, f2sai = mats[22], mats[23]
+    f1sr, f1si = mats[24], mats[25]
+
+    def cc(parts, axis):
+        return np.ascontiguousarray(np.concatenate(parts, axis=axis))
+
+    stacked = (
+        cc([F1r, -F1i], 1), cc([F1i, F1r], 1),            # fwd stage 1
+        cc([F2r, -F2i], 0), cc([F2i, F2r], 0),            # stage 2 / A-chain
+        cc([f2rb, -f2ib], 0), cc([f2ib, f2rb], 0),        # fwd mirror
+        cc([f2ra, -f2ia], 0), cc([f2ia, f2ra], 0),        # fwd k1=0 row
+        cc([f2sbr, -f2sbi], 0), cc([f2sbi, f2sbr], 0),    # inv R(W)-chain
+        cc([f2sar, -f2sai], 0), cc([f2sai, f2sar], 0),    # inv k1=0 row
+        cc([F1r, -F1i, f1sr, -f1si], 1),                  # inv final (pr)
+        cc([F1i, F1r, f1si, f1sr], 1),                    # inv final (pi)
+    )
+    mats = mats + stacked
     assert len(mats) == _N_RMATS
     return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
 
@@ -1161,11 +1236,6 @@ def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
                                        preferred_element_type=jnp.float32,
                                        precision=_PREC)
 
-    yr = dgA(pr, f1r) - dgA(pi, f1i)          # (br, j2, k1)
-    yi = dgA(pr, f1i) + dgA(pi, f1r)
-    tr = yr * trt - yi * tit
-    ti = yr * tit + yi * trt
-
     def dgB(v, mat):
         return jax.lax.dot_general(v, mat, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
@@ -1175,6 +1245,39 @@ def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
         return jax.lax.dot_general(v, mat, (((2,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
+
+    if _KSTACK and not j2major and n1 > 1:
+        # K-stacked path: each complex contraction pair is ONE matmul
+        # against [re; im] stacked along the contracted axis (see
+        # _rplan_mats stacked operands) — 9 MXU ops instead of 18
+        (syr, syi, spr, spi, srr, sri, sr0r, sr0i) = mats[30:38]
+        P = jnp.concatenate([pr, pi], axis=1)          # (br, 2n1, n2)
+        yr = dgA(P, syr)                               # (br, j2, k1)
+        yi = dgA(P, syi)
+        tr = yr * trt - yi * tit
+        ti = yr * tit + yi * trt
+        T = jnp.concatenate([tr, ti], axis=1)          # (br, 2j2, k1)
+        Pr = dgB(T, spr)                               # (br, k1, k2)
+        Pi = dgB(T, spi)
+        T2 = dgL(T, j1m)                               # k1 -> sigma1(k1)
+        Rr_b = dgB(T2, srr)
+        Ri_b = dgB(T2, sri)
+        t0 = T[:, :, :1]
+        R0r = dgB(t0, sr0r)
+        R0i = dgB(t0, sr0i)
+        Rr = jnp.concatenate([R0r, Rr_b[:, 1:, :]], axis=1)
+        Ri = jnp.concatenate([R0i, Ri_b[:, 1:, :]], axis=1)
+        Sr, Si = Pr + Rr, Pi - Ri
+        Dr, Di = Pr - Rr, Pi + Ri
+        Zr = 0.5 * (Sr + er * Di + ei * Dr)
+        Zi = 0.5 * (Si - (er * Dr - ei * Di))
+        Zi = jnp.where(mask00 > 0, Pr - Pi, Zi)
+        return Zr.reshape(br, m), Zi.reshape(br, m)
+
+    yr = dgA(pr, f1r) - dgA(pi, f1i)          # (br, j2, k1)
+    yi = dgA(pr, f1i) + dgA(pi, f1r)
+    tr = yr * trt - yi * tit
+    ti = yr * tit + yi * trt
 
     Pr = dgB(tr, f2r) - dgB(ti, f2i)          # (br, k1, k2)
     Pi = dgB(tr, f2i) + dgB(ti, f2r)
@@ -1224,7 +1327,7 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
     transpose, concat on one row only, no where-masks."""
     (f1r, f1i, f2r, f2i) = mats[:4]
     (alr, ali, bsr, bsi, f2sbr, f2sbi, f2sar, f2sai,
-     f1sr, f1si, twr, twi, tsr, tsi) = mats[16:]
+     f1sr, f1si, twr, twi, tsr, tsi) = mats[16:30]
     br = zr2d.shape[0]
     m = n1 * n2
     Z3r = zr2d.reshape(br, n1, n2)
@@ -1244,6 +1347,40 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
         return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
+
+    if _KSTACK and not j2major and _BATCHED_DG:
+        # K-stacked path: one matmul per complex contraction output
+        # (see _rplan_mats) — 8 MXU ops instead of 20
+        spr, spi = mats[32], mats[33]
+        sgr, sgi = mats[38], mats[39]
+        sg0r, sg0i = mats[40], mats[41]
+        sfr, sfi = mats[42], mats[43]
+        PA = jnp.concatenate([Par, Pai], axis=2)       # (br, n1, 2n2)
+        ar = dgB(PA, spr)                              # (br, k1, j2)
+        ai = dgB(PA, spi)
+        tr_ = ar * twr - ai * twi
+        ti_ = ar * twi + ai * twr
+        W = jnp.concatenate([Wr_, Wi_], axis=2)
+        if n1 > 1:
+            gr = dgB(W, sgr)
+            gi = dgB(W, sgi)
+            w0 = W[:, :1, :]
+            g0r = dgB(w0, sg0r)
+            g0i = dgB(w0, sg0i)
+            gr = jnp.concatenate([g0r, gr[:, 1:, :]], axis=1)
+            gi = jnp.concatenate([g0i, gi[:, 1:, :]], axis=1)
+        else:
+            gr = dgB(W, sg0r)
+            gi = dgB(W, sg0i)
+        hr = gr * tsr - gi * tsi
+        hi = gr * tsi + gi * tsr
+        # final: all four terms of each output in ONE batched matmul
+        # (K = 4*n1, the full 128-lane MXU contraction at 12MP)
+        T4 = jnp.concatenate([tr_, ti_, hr, hi], axis=1)  # (br, 4n1, j2)
+        pr_ = _dg_left(sfr, T4) * scale
+        pi_ = _dg_left(sfi, T4) * scale
+        return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)],
+                               axis=1)
 
     # A-chain: standard stages
     ar = dgB(Par, f2r) - dgB(Pai, f2i)         # (br, k1, j2)

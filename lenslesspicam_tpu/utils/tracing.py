@@ -111,11 +111,61 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
     return int(a * (io_planes * io_bytes + carry_planes * carry_bytes))
 
 
-def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
-                    hbm_bw=8.2e11, half_spectrum=True) -> dict:
-    """Fraction of speed-of-light HBM bandwidth achieved by ADMM.
+def fused_admm_matmuls_per_iter(ph: int, pw: int) -> int:
+    """MXU matmul-invocation count of one iteration of the v3
+    half-spectrum fused pipeline, from the kernel structure:
 
-    hbm_bw defaults to TPU v5e (~820 GB/s).
+    * e1_rtv: one packed-real forward W core per grid step — 4 stage-1
+      + 4 stage-2 + 10 mirror-fold matmuls = 18;
+    * irfft_w_dual_state: one (concat-fused) inverse core (4 A-chain +
+      8 R(W)-chain + 8 batched final = 20) + one forward core (18);
+    * pass-A pairs (forward and inverse): 4 matmuls per step;
+    * combine_dual: 8 matmuls per step with concat-fusion, 16 without.
+
+    Grid-step counts come from the live block-size knobs, so the model
+    tracks tuning.  This invocation count drives the second roofline
+    term: at 12MP the measured co-bottleneck is per-matmul issue/relayout
+    latency, not HBM bytes (NOTES.md round-2 null result).
+    """
+    import os
+
+    from ..ops.pallas_fft import _factor
+    from ..ops import pallas_kernels2 as pk2
+
+    mh = pw // 2
+    n1h, n2h = _factor(ph)
+    br1 = pk2._e_block_rows_v3(ph, pw, "E1R")
+    br2 = pk2._e_block_rows_v3(ph, pw, "E2R")
+    bj = min(int(os.environ.get("LPT_PALLAS_BJ", "32")), n2h)
+    bw = min(int(os.environ.get("LPT_PALLAS_BW", "128")), mh)
+    kb = min(int(os.environ.get("LPT_PALLAS_KB", "8")), n1h)
+    concat = os.environ.get("LPT_CONCAT_FUSE", "1") != "0"
+    kstack = os.environ.get("LPT_KSTACK", "1") != "0"
+
+    fwd_core = 9 if kstack else 18     # packed-real W forward
+    inv_core = 8 if kstack else 20     # packed-real W inverse
+    e1 = (ph // br1) * fwd_core
+    e2 = (ph // br2) * ((inv_core if concat else 2 * inv_core) + fwd_core)
+    passa_steps = (n2h // bj) * (mh // bw)
+    passa = (2 if concat else 4) * passa_steps * (2 if kstack else 4)
+    s2 = 2 if kstack else 4            # matmuls per stage-2 contraction
+    combine = (n1h // kb) * (mh // bw) * (2 if concat else 4) * s2
+    return e1 + e2 + passa + combine
+
+
+def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
+                    hbm_bw=8.2e11, half_spectrum=True,
+                    mm_issue_us=None) -> dict:
+    """Two-term roofline for the fused ADMM iteration.
+
+    Term 1: HBM bytes moved / bandwidth (hbm_bw defaults to TPU v5e,
+    ~820 GB/s).  Term 2: MXU issue latency — matmul invocations x a
+    per-invocation overhead (default 0.33 us, calibrated from the
+    round-2 TPU measurement: 103.3 it/s at 3.05 GB/iter left 5.9 ms of
+    non-bandwidth time over ~18k matmul invocations; override with
+    LPT_MM_ISSUE_US).  The combined bound is max(term1, term2) — the
+    pure-HBM SOL understates the work at these shapes, where thousands
+    of small (K<=128) matmuls are latency- not throughput-bound.
     """
     from ..ops.padding import padded_size
 
@@ -126,12 +176,22 @@ def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
     bytes_per_iter = fused_admm_bytes_per_iter((1, ph, pw), io_bytes,
                                                half_spectrum=half_spectrum,
                                                channels=channels)
+    if mm_issue_us is None:
+        mm_issue_us = float(os.environ.get("LPT_MM_ISSUE_US", "0.33"))
+    matmuls = fused_admm_matmuls_per_iter(ph, pw) * channels
+    t_bytes = bytes_per_iter / hbm_bw
+    t_mxu = matmuls * mm_issue_us * 1e-6
+    t_combined = max(t_bytes, t_mxu)
     out = {
         "padded_shape": (ph, pw),
         "bytes_per_iter": bytes_per_iter,
-        "sol_iters_per_s": hbm_bw / bytes_per_iter,
+        "sol_iters_per_s": 1.0 / t_bytes,
+        "matmuls_per_iter": matmuls,
+        "mxu_issue_iters_per_s": 1.0 / t_mxu,
+        "combined_bound_iters_per_s": 1.0 / t_combined,
     }
     if iters_per_s is not None:
         out["achieved_iters_per_s"] = iters_per_s
-        out["fraction_of_sol"] = iters_per_s / out["sol_iters_per_s"]
+        out["fraction_of_sol"] = iters_per_s * t_bytes
+        out["fraction_of_combined"] = iters_per_s * t_combined
     return out
