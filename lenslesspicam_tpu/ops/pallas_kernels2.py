@@ -428,65 +428,23 @@ def ifft_h(vr, vi, h, filt_r=None, filt_i=None):
 # ---------------------------------------------------------------------------
 
 
-def j2major_perm(m: int) -> np.ndarray:
-    """Lane permutation natural -> j2-major for a length-m W axis:
-    lane L = j2*n1 + j1 stores natural index j = j1*n2 + j2.  In this
-    layout the inverse W cores' natural (br, j2, j1) output order IS
-    the storage order — no trailing transpose (see _w_inv_core).
-
-    NOT used by the hot pipelines: Mosaic only lowers the in-kernel
-    (br, m) <-> (br, a, b) shape casts when the minor dim b is a
-    multiple of 128, and _factor keeps n2 lane-aligned — so the
-    j2-major views (br, n2, n1) are rejected at the bench shapes
-    (n1 = 64 at W = 8192: "infer-vector-layout: unsupported shape
-    cast").  j2-major is only viable when BOTH factors are multiples
-    of 128 (W >= 16384); kept with its unit test for that case."""
-    from .pallas_fft import _factor
-
-    n1, n2 = _factor(m)
-    L = np.arange(m)
-    j2, j1 = L // n1, L % n1
-    return j1 * n2 + j2
-
-
-def j2m_roll(x, n1, shift):
-    """roll(natural, +-1) for j2-major lanes: a lane roll by +-n1 plus a
-    +-1 roll within the wrapped n1-wide block (the mixed-radix carry)."""
-    if shift == 1:
-        shifted = jnp.concatenate([x[:, -n1:], x[:, :-n1]], axis=1)
-        head = shifted[:, :n1]
-        head = jnp.concatenate([head[:, -1:], head[:, :-1]], axis=1)
-        return jnp.concatenate([head, shifted[:, n1:]], axis=1)
-    shifted = jnp.concatenate([x[:, n1:], x[:, :n1]], axis=1)
-    tail = shifted[:, -n1:]
-    tail = jnp.concatenate([tail[:, 1:], tail[:, :1]], axis=1)
-    return jnp.concatenate([shifted[:, :-n1], tail], axis=1)
-
-
-def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit, j2major=False):
+def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit):
     """Two-stage split-order forward W transform of (br, n1*n2) rows;
-    returns (zr, zi) as (br, n1*n2) f32.  With j2major the input rows
-    are in j2-major lane order (j = lane j2*n1 + j1) — stage 1 contracts
-    the trailing dim instead; output k-order is unchanged."""
+    returns (zr, zi) as (br, n1*n2) f32.
+
+    (The round-2 j2-major lane-layout variant was removed: Mosaic only
+    lowers its (br, m) <-> (br, n2, n1) shape casts when BOTH factors
+    are 128-aligned, i.e. W >= 16384 — no supported grid uses it; see
+    NOTES.md round-2 post-mortem.)"""
     br = x2d.shape[0]
-    if j2major:
-        xs = x2d.reshape(br, n2, n1)
-        # stage 1: contract j1 (trailing) -> (br, n2, n1)
-        yr = jax.lax.dot_general(xs, f1r, (((2,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=_PREC)
-        yi = jax.lax.dot_general(xs, f1i, (((2,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=_PREC)
-    else:
-        xs = x2d.reshape(br, n1, n2)
-        # stage 1: contract j1 -> (br, n2, n1)
-        yr = jax.lax.dot_general(xs, f1r, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=_PREC)
-        yi = jax.lax.dot_general(xs, f1i, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=_PREC)
+    xs = x2d.reshape(br, n1, n2)
+    # stage 1: contract j1 -> (br, n2, n1)
+    yr = jax.lax.dot_general(xs, f1r, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
+    yi = jax.lax.dot_general(xs, f1i, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
     tr = yr * trt - yi * tit
     ti = yr * tit + yi * trt
     # stage 2: contract j2 -> (br, n1, n2)
@@ -505,11 +463,9 @@ def _w_fwd_core(x2d, n1, n2, f1r, f1i, f2r, f2i, trt, tit, j2major=False):
     return zr.reshape(br, n1 * n2), zi.reshape(br, n1 * n2)
 
 
-def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit,
-                j2major=False):
+def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit):
     """Two-stage split-order inverse W transform; returns the real part
-    as (br, n1*n2) f32.  With j2major the natural (br, j2, j1) output
-    order IS the lane order — the trailing transpose disappears."""
+    as (br, n1*n2) f32."""
     br = xr2d.shape[0]
     xr = xr2d.reshape(br, n1, n2)
     xi = xi2d.reshape(br, n1, n2)
@@ -529,7 +485,7 @@ def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit,
     # twiddle T[k1, j2] = trt^T
     tr_ = ar * trt.T - ai * tit.T
     ti_ = ar * tit.T + ai * trt.T
-    if _BATCHED_DG and not j2major:
+    if _BATCHED_DG:
         # outer contraction as a batched matmul with the stage matrix on
         # the left: output lands directly in natural (br, j1, j2) order —
         # no trailing minor-dim transpose
@@ -542,8 +498,6 @@ def _w_inv_core(xr2d, xi2d, n1, n2, scale, f1r, f1i, f2r, f2i, trt, tit,
          jax.lax.dot_general(ti_, f1i, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
-    if j2major:
-        return (zr * scale).reshape(br, n1 * n2)
     return (jnp.swapaxes(zr, 1, 2) * scale).reshape(br, n1 * n2)
 
 
@@ -1206,7 +1160,7 @@ def _rplan_mats(n_full, inverse):
     return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
 
 
-def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
+def _w_rfwd_core(x2d, n1, n2, mats):
     """(br, N) split-layout real rows -> half-spectrum (br, M) pair.
 
     The mirror P_rev = P[(M-k) mod M] is computed WITHOUT permuting P:
@@ -1214,27 +1168,19 @@ def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
     (t2 = t . J1, k1 is t's lane axis) and the k2 lane permutation is
     premultiplied into stage-2 (F2?b, F2?a for the special k1 = 0 row) —
     no in-kernel transpose/relayout (round-1 _mirror_core did both).
-    With j2major the even/odd halves are in j2-major lane order."""
+    (The j2-major lane-layout variant was removed — Mosaic-illegal below
+    W = 16384, see NOTES.md round-2 post-mortem.)"""
     (f1r, f1i, f2r, f2i, trt, tit, j1m, j2a, j2b, er, ei, mask00,
      f2rb, f2ib, f2ra, f2ia) = mats[:16]
     br = x2d.shape[0]
     m = n1 * n2
-    if j2major:
-        pr = x2d[:, :m].reshape(br, n2, n1)
-        pi = x2d[:, m:].reshape(br, n2, n1)
+    pr = x2d[:, :m].reshape(br, n1, n2)
+    pi = x2d[:, m:].reshape(br, n1, n2)
 
-        def dgA(v, mat):
-            return jax.lax.dot_general(v, mat, (((2,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                                       precision=_PREC)
-    else:
-        pr = x2d[:, :m].reshape(br, n1, n2)
-        pi = x2d[:, m:].reshape(br, n1, n2)
-
-        def dgA(v, mat):
-            return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                                       precision=_PREC)
+    def dgA(v, mat):
+        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
 
     def dgB(v, mat):
         return jax.lax.dot_general(v, mat, (((1,), (0,)), ((), ())),
@@ -1246,7 +1192,7 @@ def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
-    if _KSTACK and not j2major and n1 > 1:
+    if _KSTACK and n1 > 1:
         # K-stacked path: each complex contraction pair is ONE matmul
         # against [re; im] stacked along the contracted axis (see
         # _rplan_mats stacked operands) — 9 MXU ops instead of 18
@@ -1315,7 +1261,7 @@ def _w_rfwd_core(x2d, n1, n2, mats, j2major=False):
     return Zr.reshape(br, m), Zi.reshape(br, m)
 
 
-def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
+def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
     """(br, M) half-spectrum pair -> (br, N) split-layout real rows.
 
     Permutation-free unpack: the even/odd reconstruction is algebra-
@@ -1348,7 +1294,7 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
-    if _KSTACK and not j2major and _BATCHED_DG:
+    if _KSTACK and _BATCHED_DG:
         # K-stacked path: one matmul per complex contraction output
         # (see _rplan_mats) — 8 MXU ops instead of 20
         spr, spi = mats[32], mats[33]
@@ -1403,7 +1349,7 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
     hr = gr * tsr - gi * tsi                   # twiddle at sigma1(k)
     hi = gr * tsi + gi * tsr
 
-    if _BATCHED_DG and not j2major:
+    if _BATCHED_DG:
         # final contraction as batched left-matmuls: natural (br, j1, j2)
         # output order, no trailing minor-dim transpose.  dgC contracts
         # f1 dim 1, so the left operand is the matrix itself (f1[j1, k1]).
@@ -1416,9 +1362,8 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats, j2major=False):
                + dgC(hr, f1sr) - dgC(hi, f1si))
         pi_ = (dgC(tr_, f1i) + dgC(ti_, f1r)
                + dgC(hr, f1si) + dgC(hi, f1sr))
-        if not j2major:
-            pr_ = jnp.swapaxes(pr_, 1, 2)
-            pi_ = jnp.swapaxes(pi_, 1, 2)
+        pr_ = jnp.swapaxes(pr_, 1, 2)
+        pi_ = jnp.swapaxes(pi_, 1, 2)
     pr_ = pr_ * scale
     pi_ = pi_ * scale
     return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)], axis=1)

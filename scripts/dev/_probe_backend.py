@@ -1,4 +1,7 @@
 import os, sys, time
+import os as _o, sys as _s
+_s.path.insert(0, _o.path.join(_o.path.dirname(_o.path.abspath(__file__)), "..", ".."))
+
 backend = sys.argv[1] if len(sys.argv) > 1 else "fused"
 os.environ.setdefault("LPT_SPLIT_IO", "bf16")
 os.environ.setdefault("LPT_CARRY_IO", "bf16")

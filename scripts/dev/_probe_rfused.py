@@ -1,4 +1,7 @@
 import os, sys, time
+import os as _o, sys as _s
+_s.path.insert(0, _o.path.join(_o.path.dirname(_o.path.abspath(__file__)), "..", ".."))
+
 os.environ.setdefault("LPT_SPLIT_IO", "bf16")
 os.environ.setdefault("LPT_PALLAS_PRECISION", "default")
 import numpy as np, jax, jax.numpy as jnp

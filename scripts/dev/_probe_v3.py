@@ -4,6 +4,8 @@ Difference-method loops with a scalar loop-carried dependency, one
 kernel per jit. Usage: python _probe_v3.py [e1|hcd|invs|dc|all]
 """
 import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 os.environ.setdefault("LPT_SPLIT_IO", "bf16")
 os.environ.setdefault("LPT_CARRY_IO", "bf16")
 os.environ.setdefault("LPT_PALLAS_PRECISION", "default")

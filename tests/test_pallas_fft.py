@@ -259,22 +259,3 @@ def test_admm_rfused_general_batched_rgb():
         pk2._set_interpret(False)
 
 
-def test_j2major_perm_and_roll():
-    """j2-major lane permutation + the mixed-radix roll: rolling in the
-    permuted layout == permuting the natural roll."""
-    import jax.numpy as jnp
-
-    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
-    from lenslesspicam_tpu.ops.pallas_fft import _factor
-
-    for m in (256, 384, 1024):
-        n1, _ = _factor(m)
-        perm = pk2.j2major_perm(m)
-        assert sorted(perm.tolist()) == list(range(m))
-        rng = np.random.RandomState(0)
-        x = rng.rand(4, m).astype(np.float32)
-        xj = jnp.asarray(x[:, perm])
-        for shift in (1, -1):
-            want = np.roll(x, shift, axis=1)[:, perm]
-            got = np.asarray(pk2.j2m_roll(xj, n1, shift))
-            np.testing.assert_allclose(got, want, atol=0)
