@@ -1,0 +1,60 @@
+"""Pure-streaming pallas bandwidth probe: out = in * 1.0001 over the
+12MP padded grid, at several row-block sizes and dtypes.  Measures the
+achievable HBM bandwidth ceiling for the fused-ADMM kernel shapes —
+calibrates what fraction of the 820 GB/s v5e peak a Pallas row-block
+pipeline can actually sustain (difference-method, in-graph loop).
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+import numpy as np, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from functools import partial
+
+ph, pw = 6144, 8192
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[:] = (x_ref[:].astype(jnp.float32) * 1.0001).astype(o_ref.dtype)
+
+
+def copy_plane(x, br):
+    m, w = x.shape
+    spec = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _copy_kernel, grid=(m // br,), in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, w), x.dtype),
+    )(x)
+
+
+def timed(fn, args, label, gbytes, base=2, full=52, reps=3):
+    t0 = time.time(); float(fn(*args, base))
+    print(f"{label}: compile {time.time()-t0:.0f}s", flush=True)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time(); float(fn(*args, full)); dt2 = time.time() - t0
+        t0 = time.time(); float(fn(*args, base)); dt1 = time.time() - t0
+        best = min(best, (dt2 - dt1) / (full - base))
+    print(f"{label}: {best*1e3:.3f} ms/call -> {gbytes/best:.0f} GB/s",
+          flush=True)
+
+
+def main():
+    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        x0 = jnp.asarray(np.random.rand(ph, pw), dtype)
+        nbytes = ph * pw * x0.dtype.itemsize
+        for br in (8, 16, 24, 32, 64):
+            @jax.jit
+            def loop(x, n, br=br):
+                def body(_, s):
+                    y = copy_plane(s, br)
+                    return y
+                out = jax.lax.fori_loop(0, n, body, x)
+                return out[::499, ::499].sum().astype(jnp.float32)
+            timed(loop, (x0,), f"copy {name} br={br}", 2 * nbytes / 1e9)
+
+
+if __name__ == "__main__":
+    main()
