@@ -448,6 +448,12 @@ def main():
                     # quality gate; the re-derived bf16 io spectra do
                     # not compound and pass at all protocol depths)
                     LPT_CARRY_IO=os.environ.get("BENCH_CARRY_IO", "f32"),
+                    # KKT-bounded TV carries ride int16 fixed point when
+                    # the io attempt is bf16 (quality-gated in the
+                    # child); the f32 fallback goes fully exact
+                    LPT_CARRY_TV=os.environ.get(
+                        "BENCH_CARRY_TV",
+                        "i16" if split_io == "bf16" else "f32"),
                     # measured-best carry-kernel row block at 12MP
                     LPT_E_BLOCK=os.environ.get("BENCH_E_BLOCK", "16"),
                 )

@@ -128,6 +128,46 @@ _CARRY_DTYPE = (jnp.bfloat16
                 if _os.environ.get("LPT_CARRY_IO", "").lower() == "bf16"
                 else jnp.float32)
 
+# Per-plane carry dtypes.  The v carry (data-fidelity dual) accumulates
+# with data-dependent range, so it stays at the global _CARRY_DTYPE
+# (f32 default: bf16 costs ~2.4 dB by n_iter=300).  The TV-side carries
+# {a0, a1, b} are KKT-BOUNDED — |eta| <= tau from the soft-threshold
+# optimality, |b| ~ mu3*|image| — so they quantize to int16 fixed point
+# at trace-time scales derived from the ADMM parameters with NO
+# measurable quality loss (-0.04 dB at n=300, bench-gated).  On this
+# TPU f32 HBM streaming sustains only ~340-390 GB/s vs ~790-890 for
+# 2-byte dtypes (scripts/dev/_probe_bw.py; float16 is UNSUPPORTED —
+# crashes libtpu), so the int16 TV carries save ~3x their byte count.
+# LPT_CARRY_TV in {f32 (default — exact), i16, bf16}; bench.py runs
+# i16 behind its PSNR quality gates.
+_CARRY_TV = _os.environ.get("LPT_CARRY_TV", "").lower()
+_CARRY_TV_DTYPE = {"i16": jnp.int16, "bf16": jnp.bfloat16}.get(
+    _CARRY_TV, _CARRY_DTYPE)
+
+
+def _tv_scales(mu2, mu3, tau):
+    """Fixed-point full-scale values for the int16 TV carries, from the
+    KKT bounds (assumes max-normalized measurements, the standard
+    pipeline): |a| <= tau + mu2*|psi| -> 8*tau headroom; |b| <=
+    mu3*|image| -> 32*mu3."""
+    return 8.0 * tau, 32.0 * mu3
+
+
+def _load_carry(x, scale):
+    """Decode a carried plane to f32 (int16 fixed point or float)."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (scale / 32767.0)
+    return x.astype(jnp.float32)
+
+
+def _store_carry(ref, x, scale):
+    if ref.dtype == jnp.int16:
+        s = 32767.0 / scale
+        ref[:] = jnp.round(jnp.clip(x * s, -32767.0, 32767.0)
+                           ).astype(jnp.int16)
+    else:
+        ref[:] = x.astype(ref.dtype)
+
 
 _BATCHED_DG = _os.environ.get("LPT_INV_BATCHED_DG", "1") != "0"
 
@@ -1467,31 +1507,32 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     (rkr_ref, rki_ref, vr_ref, vi_ref,
      vo_ref, a0o_ref, a1o_ref, bo_ref) = refs[_N_RMATS:]
     f32 = jnp.float32
+    sc_a, sc_b = _tv_scales(mu2, mu3, tau)
     img_c = imgc_ref[:].astype(f32)
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]
-    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
-                             axis=0).astype(f32)
+    a0_ext = _load_carry(jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
+                                         axis=0), sc_a)
     eta0_eff = mu2 * psi0_ext - a0_ext
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
     adj0 = a0[1:] - a0[:-1]
-    a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
+    _store_carry(a0o_ref, a0[:-1], sc_a)
 
     # W-axis TV in the even/odd split lane layout
     psi1 = _split_roll_p1(img_c, mh) - img_c
-    eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
+    eta1_eff = mu2 * psi1 - _load_carry(a1_ref[:], sc_a)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = _split_roll_m1(a1, mh) - a1
-    a1o_ref[:] = a1.astype(a1o_ref.dtype)
+    _store_carry(a1o_ref, a1, sc_a)
 
-    rho = mu3 * img_c - b_ref[:].astype(f32)
+    rho = mu3 * img_c - _load_carry(b_ref[:], sc_b)
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
-    bo_ref[:] = b.astype(bo_ref.dtype)
+    _store_carry(bo_ref, b, sc_b)
     rk = b + adj0 + adj1
 
     fwdv = fwd_ref[:].astype(f32)
@@ -1563,6 +1604,7 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
     cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
+    cr_tv = jax.ShapeDtypeStruct((m, n_full), _CARRY_TV_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
@@ -1576,7 +1618,7 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
                  + _const_specs(mats),
         out_specs=(spec_h,) * 4 + (spec_c,) * 4,
         out_shape=(io_h, io_h, io_h, io_h,          # rk/v half spectra
-                   cr_sh, cr_sh, cr_sh, cr_sh),     # v', a0', a1', b'
+                   cr_sh, cr_tv, cr_tv, cr_tv),     # v', a0', a1', b'
         interpret=_INTERPRET,
     )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
 
@@ -1696,7 +1738,13 @@ def _e_block_rows_v3(m, w, which="E1R"):
     kernels, LPT_E1R_BLOCK / LPT_E2R_BLOCK individually."""
     env = (_os.environ.get(f"LPT_{which}_BLOCK")
            or _os.environ.get("LPT_E_BLOCK3"))
-    default = 32 if _CARRY_DTYPE == jnp.bfloat16 else 16
+    small_tv = _CARRY_TV_DTYPE != jnp.float32
+    if which == "E1R":
+        # e1_rtv blocks hold a0 x2/a1/b (TV dtype) + image/rk (io)
+        default = 32 if small_tv else 16
+    else:
+        # the dual-inverse state kernel holds the f32 v carry
+        default = 32 if _CARRY_DTYPE == jnp.bfloat16 else 16
     return _pick_block(m, int(env) if env else default)
 
 
@@ -1711,30 +1759,31 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
     fmats = tuple(r[:] for r in refs[:_N_RMATS])
     (rkr_ref, rki_ref, a0o_ref, a1o_ref, bo_ref) = refs[_N_RMATS:]
     f32 = jnp.float32
+    sc_a, sc_b = _tv_scales(mu2, mu3, tau)
     img_c = imgc_ref[:].astype(f32)
     ximg = jnp.concatenate([imgp_ref[:].astype(f32)[-1:], img_c,
                             imgn_ref[:].astype(f32)[:1]], axis=0)
     psi0_ext = ximg[:-1] - ximg[1:]
-    a0_ext = jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
-                             axis=0).astype(f32)
+    a0_ext = _load_carry(jnp.concatenate([a0c_ref[:], a0n_ref[:][:1]],
+                                         axis=0), sc_a)
     eta0_eff = mu2 * psi0_ext - a0_ext
     thr = tau / mu2
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
     adj0 = a0[1:] - a0[:-1]
-    a0o_ref[:] = a0[:-1].astype(a0o_ref.dtype)
+    _store_carry(a0o_ref, a0[:-1], sc_a)
 
     psi1 = _split_roll_p1(img_c, mh) - img_c
-    eta1_eff = mu2 * psi1 - a1_ref[:].astype(f32)
+    eta1_eff = mu2 * psi1 - _load_carry(a1_ref[:], sc_a)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = _split_roll_m1(a1, mh) - a1
-    a1o_ref[:] = a1.astype(a1o_ref.dtype)
+    _store_carry(a1o_ref, a1, sc_a)
 
-    rho = mu3 * img_c - b_ref[:].astype(f32)
+    rho = mu3 * img_c - _load_carry(b_ref[:], sc_b)
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
-    bo_ref[:] = b.astype(bo_ref.dtype)
+    _store_carry(bo_ref, b, sc_b)
     rk = b + adj0 + adj1
 
     zr, zi = _w_rfwd_core(rk, n1, n2, fmats)
@@ -1764,7 +1813,7 @@ def e1_rtv(image, a0, a1, b, mu2, mu3, tau, block_rows=None):
     spec_sn = pl.BlockSpec((st, n_full), lambda i: (((i + 1) % nb) * q, 0),
                            memory_space=pltpu.VMEM)
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
-    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
+    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_TV_DTYPE)
     return pl.pallas_call(
         partial(_e1rtv_kernel, n1, n2, mh, mu2, mu3, tau),
         grid=(nb,),

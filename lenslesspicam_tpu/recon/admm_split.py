@@ -303,6 +303,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     mask_c = jnp.asarray(pre.mask, io)
     dp_c = jnp.asarray(pre.data_pad, io)
     zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
+    zeros_tv = jnp.zeros((ph, pw), pk2._CARRY_TV_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
     HM = jax.lax.complex(pre.HMr, pre.HMi)
@@ -339,7 +340,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         v_init = (mu1 * xdv * jnp.asarray(pre.data_pad, f32))
         with pk2.forced_interpret(needs_interp):
             vwr0, vwi0 = pk2.rfft_w(v_init.astype(io))
-        state = dict(image=zeros_io, a0=zeros_cr, a1=zeros_cr, b=zeros_cr,
+        state = dict(image=zeros_io, a0=zeros_tv, a1=zeros_tv, b=zeros_tv,
                      v=v_init.astype(pk2._CARRY_DTYPE),
                      vwr=vwr0, vwi=vwi0)
 
@@ -357,8 +358,8 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
             return dict(image=imgn, a0=a0n, a1=a1n, b=bn,
                         v=vn, vwr=vwrn, vwi=vwin)
     else:
-        state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
-                     a0=zeros_cr, a1=zeros_cr)
+        state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_tv,
+                     a0=zeros_tv, a1=zeros_tv)
 
         def body(_, s):
             (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_rcarry(

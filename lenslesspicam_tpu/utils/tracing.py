@@ -108,7 +108,22 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
         carry_planes = 5 + 4              # e1 carry reads + writes
     carry_bytes = (2 if os.environ.get("LPT_CARRY_IO", "").lower() == "bf16"
                    else 4)
-    return int(a * (io_planes * io_bytes + carry_planes * carry_bytes))
+    tv_bytes = (2 if os.environ.get("LPT_CARRY_TV", "").lower()
+                in ("i16", "bf16") else carry_bytes)
+    if v3:
+        v_planes = 2                       # e2 v r+w
+        tv_planes = carry_planes - v_planes
+    else:
+        v_planes = 2
+        tv_planes = carry_planes - v_planes
+    b2 = a * (io_planes * io_bytes if io_bytes == 2 else 0)
+    b4 = a * (io_planes * io_bytes if io_bytes == 4 else 0)
+    for planes, nbytes in ((v_planes, carry_bytes), (tv_planes, tv_bytes)):
+        if nbytes == 2:
+            b2 += a * planes * nbytes
+        else:
+            b4 += a * planes * nbytes
+    return int(b2 + b4), int(b2), int(b4)
 
 
 def fused_admm_matmuls_per_iter(ph: int, pw: int) -> int:
@@ -173,18 +188,26 @@ def roofline_report(shape=(3040, 4056), iters_per_s=None, channels=1,
     pw = padded_size(shape[1])
     import os
     io_bytes = 2 if os.environ.get("LPT_SPLIT_IO", "").lower() == "bf16" else 4
-    bytes_per_iter = fused_admm_bytes_per_iter((1, ph, pw), io_bytes,
-                                               half_spectrum=half_spectrum,
-                                               channels=channels)
+    bytes_per_iter, b2, b4 = fused_admm_bytes_per_iter(
+        (1, ph, pw), io_bytes, half_spectrum=half_spectrum,
+        channels=channels)
     if mm_issue_us is None:
         mm_issue_us = float(os.environ.get("LPT_MM_ISSUE_US", "0.33"))
     matmuls = fused_admm_matmuls_per_iter(ph, pw) * channels
-    t_bytes = bytes_per_iter / hbm_bw
+    # dtype-aware bandwidths: measured with scripts/dev/_probe_bw.py on
+    # this v5e — 2-byte Pallas streaming sustains ~870 GB/s (near the
+    # 820 spec) while 4-byte sustains only ~390 GB/s; override with
+    # LPT_BW_2B / LPT_BW_4B
+    bw2 = float(os.environ.get("LPT_BW_2B", "8.7e11"))
+    bw4 = float(os.environ.get("LPT_BW_4B", "3.9e11"))
+    t_bytes = b2 / bw2 + b4 / bw4
     t_mxu = matmuls * mm_issue_us * 1e-6
     t_combined = max(t_bytes, t_mxu)
     out = {
         "padded_shape": (ph, pw),
         "bytes_per_iter": bytes_per_iter,
+        "bytes_2B": b2,
+        "bytes_4B": b4,
         "sol_iters_per_s": 1.0 / t_bytes,
         "matmuls_per_iter": matmuls,
         "mxu_issue_iters_per_s": 1.0 / t_mxu,

@@ -20,6 +20,19 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[:] = (x_ref[:].astype(jnp.float32) * 1.0001).astype(o_ref.dtype)
 
 
+def _pure_copy_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:]
+
+
+def pure_copy_plane(x, br):
+    m, w = x.shape
+    spec = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pure_copy_kernel, grid=(m // br,), in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, w), x.dtype),
+    )(x)
+
+
 def copy_plane(x, br):
     m, w = x.shape
     spec = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -42,18 +55,26 @@ def timed(fn, args, label, gbytes, base=2, full=52, reps=3):
 
 
 def main():
-    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        x0 = jnp.asarray(np.random.rand(ph, pw), dtype)
+    which = sys.argv[1] if len(sys.argv) > 1 else "mul"
+    dtypes = ((jnp.float32, "f32"), (jnp.bfloat16, "bf16"),
+              (jnp.float16, "f16"), (jnp.int32, "i32"))
+    fn = pure_copy_plane if which == "pure" else copy_plane
+    for dtype, name in dtypes:
+        if which == "pure" and name == "i32":
+            x0 = jnp.asarray((np.random.rand(ph, pw) * 100).astype(np.int32))
+        elif name == "i32":
+            continue
+        else:
+            x0 = jnp.asarray(np.random.rand(ph, pw), dtype)
         nbytes = ph * pw * x0.dtype.itemsize
-        for br in (8, 16, 24, 32, 64):
+        for br in (16, 32):
             @jax.jit
             def loop(x, n, br=br):
                 def body(_, s):
-                    y = copy_plane(s, br)
-                    return y
+                    return fn(s, br)
                 out = jax.lax.fori_loop(0, n, body, x)
                 return out[::499, ::499].sum().astype(jnp.float32)
-            timed(loop, (x0,), f"copy {name} br={br}", 2 * nbytes / 1e9)
+            timed(loop, (x0,), f"{which} {name} br={br}", 2 * nbytes / 1e9)
 
 
 if __name__ == "__main__":

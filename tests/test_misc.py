@@ -161,23 +161,36 @@ def test_bench_baseline_and_roofline_model():
     from lenslesspicam_tpu.utils.tracing import fused_admm_bytes_per_iter
 
     shape = (1, 6144, 8192)
-    full_f32 = fused_admm_bytes_per_iter(shape, io_bytes=4,
-                                         half_spectrum=False)
-    full_bf16 = fused_admm_bytes_per_iter(shape, io_bytes=2,
-                                          half_spectrum=False)
-    half_bf16 = fused_admm_bytes_per_iter(shape, io_bytes=2,
-                                          half_spectrum=True)
+    full_f32, _, _ = fused_admm_bytes_per_iter(shape, io_bytes=4,
+                                               half_spectrum=False)
+    full_bf16, _, _ = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                                half_spectrum=False)
+    half_bf16, _, f32_part = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                                       half_spectrum=True)
     assert full_bf16 < full_f32
     assert half_bf16 < full_bf16
+    assert f32_part > 0  # f32 carries tracked in the 4-byte term
     # bf16 carries shrink it further
     old = os.environ.get("LPT_CARRY_IO")
     try:
         os.environ["LPT_CARRY_IO"] = "bf16"
-        half_bf16_c = fused_admm_bytes_per_iter(shape, io_bytes=2,
-                                                half_spectrum=True)
+        half_bf16_c, _, _ = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                                      half_spectrum=True)
     finally:
         if old is None:
             os.environ.pop("LPT_CARRY_IO", None)
         else:
             os.environ["LPT_CARRY_IO"] = old
     assert half_bf16_c < half_bf16
+    # int16 TV carries shrink the 4-byte term
+    old_tv = os.environ.get("LPT_CARRY_TV")
+    try:
+        os.environ["LPT_CARRY_TV"] = "i16"
+        _, _, f32_i16 = fused_admm_bytes_per_iter(shape, io_bytes=2,
+                                                  half_spectrum=True)
+    finally:
+        if old_tv is None:
+            os.environ.pop("LPT_CARRY_TV", None)
+        else:
+            os.environ["LPT_CARRY_TV"] = old_tv
+    assert f32_i16 < f32_part

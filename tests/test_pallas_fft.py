@@ -259,3 +259,51 @@ def test_admm_rfused_general_batched_rgb():
         pk2._set_interpret(False)
 
 
+
+
+def test_rfused_int16_tv_carries():
+    """int16 fixed-point TV carries (KKT-bounded a0/a1/b) reconstruct a
+    structured scene within 0.2 dB of the exact solver at the benchmark
+    protocol's deep end (monkeypatched dtype; bench.py enables it via
+    LPT_CARRY_TV=i16 behind its own quality gates)."""
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+    from lenslesspicam_tpu.recon import admm, admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    h, w = 96, 128
+    rng = np.random.RandomState(1)
+    scene = np.zeros((h, w), np.float32)
+    scene[20:40, 30:60] = 1.0
+    scene[50:80, 70:110] = 0.6
+    psf = np.zeros((h, w), np.float32)
+    ys, xs = rng.randint(0, h, 200), rng.randint(0, w, 200)
+    psf[ys, xs] = rng.rand(200)
+    psf /= np.linalg.norm(psf)
+    fwd = FFTConvolver.from_psf(psf[None, :, :, None], pad=True,
+                                norm="backward")
+    meas = np.asarray(fwd.convolve(jnp.asarray(
+        scene[None, None, :, :, None]))).squeeze()
+    meas = (meas / meas.max()).astype(np.float32)
+
+    conv = admm.make_convolver(psf[None, :, :, None])
+    ref = np.asarray(admm.run_jit(conv, jnp.asarray(
+        meas[None, None, :, :, None]), n_iter=300))[0, 0, :, :, 0]
+
+    old = pk2._CARRY_TV_DTYPE
+    pk2._CARRY_TV_DTYPE = jnp.int16
+    try:
+        pre = admm_split.precompute_rsplit(psf, meas)
+        out = np.asarray(admm_split.run_rsplit_jit(pre, ADMMParams(),
+                                                   jnp.asarray(300)))
+    finally:
+        pk2._CARRY_TV_DTYPE = old
+
+    def psnr_of(x):
+        xn = x / max(x.max(), 1e-9)
+        sn = scene / scene.max()
+        return -10 * np.log10(np.mean((xn - sn) ** 2) + 1e-12)
+
+    assert abs(psnr_of(ref) - psnr_of(out)) < 0.2
