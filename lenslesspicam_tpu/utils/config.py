@@ -82,6 +82,23 @@ def load_config(path=None, overrides=None, defaults=None) -> DotDict:
     return DotDict(cfg)
 
 
+def apply_defaults(cfg: dict, defaults: dict) -> dict:
+    """Recursively fill missing keys from a nested defaults dict
+    WITHOUT overwriting anything the user set (the deep analog of the
+    scripts' per-key setdefault — a CLI override like ``camera.psf=x``
+    creates the ``camera`` sub-dict, which must still inherit its other
+    defaults)."""
+    import copy
+
+    for key, val in defaults.items():
+        if key not in cfg or (cfg[key] is None and isinstance(val, dict)):
+            cfg[key] = (DotDict(copy.deepcopy(val))
+                        if isinstance(val, dict) else val)
+        elif isinstance(val, dict) and isinstance(cfg.get(key), dict):
+            apply_defaults(cfg[key], val)
+    return cfg
+
+
 def make_run_dir(base="outputs") -> str:
     now = datetime.datetime.now()
     run_dir = os.path.join(base, now.strftime("%Y-%m-%d"), now.strftime("%H-%M-%S"))

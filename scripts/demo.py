@@ -55,8 +55,9 @@ _DEFAULTS = {
 
 @config_main(None)
 def main(config):
-    for key, val in _DEFAULTS.items():
-        config.setdefault(key, val)
+    from lenslesspicam_tpu.utils.config import apply_defaults
+
+    apply_defaults(config, _DEFAULTS)
 
     from lenslesspicam_tpu.hardware import remote
 

@@ -263,8 +263,9 @@ def main():
 
 @config_main(None)
 def _bot_main(config):
-    for key, val in _DEFAULTS.items():
-        config.setdefault(key, val)
+    from lenslesspicam_tpu.utils.config import apply_defaults
+
+    apply_defaults(config, _DEFAULTS)
     config["token"] = config["token"] or os.environ.get("TELEGRAM_BOT_TOKEN")
     config["psf"] = config["psf"] or os.environ.get("DEMO_PSF")
     config["rpi"]["username"] = (config["rpi"]["username"]

@@ -54,7 +54,45 @@ def timed(fn, args, label, gbytes, base=2, full=52, reps=3):
           flush=True)
 
 
+def _copy_kernel_consts(x_ref, *refs):
+    o_ref = refs[-1]
+    acc = x_ref[:].astype(jnp.float32)
+    # touch one element of each const so they can't be DCE'd
+    bump = sum(r[0, 0] for r in refs[:-1]) * 0.0
+    o_ref[:] = (acc + bump).astype(o_ref.dtype)
+
+
+def copy_plane_consts(x, br, n_consts):
+    m, w = x.shape
+    spec = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    consts = [jnp.ones((128, 128), jnp.float32) for _ in range(n_consts)]
+    return pl.pallas_call(
+        _copy_kernel_consts, grid=(m // br,),
+        in_specs=[spec] + [cspec] * n_consts, out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, w), x.dtype),
+    )(x, *consts)
+
+
+def main_consts():
+    x0 = jnp.asarray(np.random.rand(ph, pw), jnp.bfloat16)
+    nbytes = ph * pw * 2
+    for n_consts in (4, 40):
+        for br in (16, 32):
+            @jax.jit
+            def loop(x, n, br=br, nc=n_consts):
+                def body(_, s):
+                    return copy_plane_consts(s, br, nc)
+                out = jax.lax.fori_loop(0, n, body, x)
+                return out[::499, ::499].sum().astype(jnp.float32)
+            timed(loop, (x0,), f"copy bf16 consts={n_consts} br={br}",
+                  2 * nbytes / 1e9)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "consts":
+        return main_consts()
     which = sys.argv[1] if len(sys.argv) > 1 else "mul"
     dtypes = ((jnp.float32, "f32"), (jnp.bfloat16, "bf16"),
               (jnp.float16, "f16"), (jnp.int32, "i32"))

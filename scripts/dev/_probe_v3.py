@@ -80,22 +80,22 @@ def loop_invs(a0r, a0i, a1r, a1i, pc, v, n):
 
 
 @jax.jit
-def loop_dc(rkr, rki, vr_, vi_, n):
+def loop_dc(rkr, rki, vr_, vi_, h0r, h0i, hmr, hmi, r0, rm, n):
+    # complex closure constants can't materialize over the tunnel
+    # (complex64 d2h unimplemented) — H0/HM arrive as r/i args
     f32 = jnp.float32
+    H0_ = jax.lax.complex(h0r, h0i)
+    HM_ = jax.lax.complex(hmr, hmi)
 
     def body(_, s):
         a, b_, c, d = s
-        A0 = jnp.fft.fft(a[:, 0].astype(f32))
-        AM = jnp.fft.fft(b_[:, 0].astype(f32))
-        B0 = jnp.fft.fft(c[:, 0].astype(f32))
-        BM = jnp.fft.fft(d[:, 0].astype(f32))
-        F0 = pre.R0 * (A0 + jnp.conj(H0) * B0)
-        FM = pre.RM * (AM + jnp.conj(HM) * BM)
-        i0 = jnp.fft.ifft(F0).real
-        iM = jnp.fft.ifft(FM).real
-        f0 = jnp.fft.ifft(H0 * F0).real
-        fM = jnp.fft.ifft(HM * FM).real
-        eps = (i0[0] + iM[0] + f0[0] + fM[0]).astype(io) * 0
+        cols = jnp.stack([a[:, 0], b_[:, 0], c[:, 0], d[:, 0]])
+        A0, AM, B0, BM = jnp.fft.fft(cols.astype(f32), axis=-1)
+        F0 = r0 * (A0 + jnp.conj(H0_) * B0)
+        FM = rm * (AM + jnp.conj(HM_) * BM)
+        outs = jnp.fft.ifft(jnp.stack([F0, FM, H0_ * F0, HM_ * FM]),
+                            axis=-1).real
+        eps = outs[:, 0].sum().astype(io) * 0
         return (a + eps, b_, c, d)
     out = jax.lax.fori_loop(0, n, body, (rkr, rki, vr_, vi_))
     return out[0][::499, ::499].sum().astype(jnp.float32)
@@ -115,4 +115,5 @@ if which in ("all", "hcd"):
 if which in ("all", "invs"):
     timed(loop_invs, (z_h, z_h, z_h, z_h, pc, v0), "irfft_w_dual_state")
 if which in ("all", "dc"):
-    timed(loop_dc, (z_h, z_h, z_h, z_h), "dc_patch")
+    timed(loop_dc, (z_h, z_h, z_h, z_h, pre.H0r, pre.H0i,
+                    pre.HMr, pre.HMi, pre.R0, pre.RM), "dc_patch")

@@ -149,8 +149,9 @@ def _capture_adaptive(config, fn, exp, brightness, display_fp, stats):
 
 @config_main(None)
 def main(config):
-    for key, val in _DEFAULTS.items():
-        config.setdefault(key, val)
+    from lenslesspicam_tpu.utils.config import apply_defaults
+
+    apply_defaults(config, _DEFAULTS)
     # captured data goes to a STABLE directory (not the timestamped
     # run_dir) so an interrupted acquisition resumes across invocations
     out_dir = config.get("measured_dir") or os.path.join(

@@ -239,8 +239,9 @@ def _capture_legacy_png(config, fn):
 
 @config_main(None)
 def main(config):
-    for key, val in _DEFAULTS.items():
-        config.setdefault(key, val)
+    from lenslesspicam_tpu.utils.config import apply_defaults
+
+    apply_defaults(config, _DEFAULTS)
 
     from lenslesspicam_tpu.hardware.sensor import (
         SensorOptions, SensorParam, sensor_dict)

@@ -332,3 +332,20 @@ def test_collect_dataset_dummy_resume(tmp_path):
     assert "resuming at index 3" in res2.stdout
     pngs = [f for f in os.listdir(measured) if f.endswith(".png")]
     assert len(pngs) == 4
+
+
+def test_recon_demo_script(tmp_path):
+    """Offline demo reconstruction of a previously-captured file
+    (reference scripts/recon/demo.py — the bot's subprocess target)."""
+    psf_fp, data_fp = _make_inputs(tmp_path)
+    res = _run(
+        ["scripts/recon/demo.py", f"raw={data_fp}",
+         f"camera.psf={psf_fp}", "recon.downsample=2",
+         "recon.admm.n_iter=5", "postproc.crop_hor=[0.1,0.9]",
+         f"output_dir={tmp_path}/out"],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    outs = [os.path.join(d, f) for d, _, fs in os.walk(f"{tmp_path}/out")
+            for f in fs if f == "reconstructed.png"]
+    assert outs, res.stdout
