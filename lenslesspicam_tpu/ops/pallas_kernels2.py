@@ -752,17 +752,18 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
 
     def stage2(vr, vi, mr, mi):
         # with LPT_KSTACK, mr/mi are the stacked ([F2 | -F2i], [F2i | F2])
-        # (n2, 2n2) matrices: one matmul per output against [vr; vi]
+        # (n2, 2n2) matrices and the contraction runs as a kb-BATCHED
+        # left matmul (_dg_left): the output lands directly in the
+        # (kb, n2, wv) block layout — the former swapaxes relayouts
+        # (8 per grid step) disappear entirely
         wv = vr.shape[2]
+        if _KSTACK:
+            t = jnp.concatenate([vr, vi], axis=1)      # (kb, 2n2, wv)
+            return _dg_left(mr, t), _dg_left(mi, t)
         vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * wv)
         vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * wv)
-        if _KSTACK:
-            v = jnp.concatenate([vr2, vi2], axis=0)
-            zr = _mm(mr, v)
-            zi = _mm(mi, v)
-        else:
-            zr = _mm(mr, vr2) - _mm(mi, vi2)
-            zi = _mm(mr, vi2) + _mm(mi, vr2)
+        zr = _mm(mr, vr2) - _mm(mi, vi2)
+        zi = _mm(mr, vi2) + _mm(mi, vr2)
         return (jnp.swapaxes(zr.reshape(n2, kb, wv), 0, 1),
                 jnp.swapaxes(zi.reshape(n2, kb, wv), 0, 1))
 
@@ -1233,24 +1234,34 @@ def _w_rfwd_core(x2d, n1, n2, mats):
                                    precision=_PREC)
 
     if _KSTACK and n1 > 1:
-        # K-stacked path: each complex contraction pair is ONE matmul
-        # against [re; im] stacked along the contracted axis (see
-        # _rplan_mats stacked operands) — 9 MXU ops instead of 18
+        # K-stacked LEFT-BATCHED path: each complex contraction pair is
+        # ONE matmul against [re; im] stacked along the contracted axis,
+        # and every stage runs as a kb-batched left matmul so ALL
+        # intermediates keep the 128-wide n2/k2 axis MINOR — the dgA
+        # form's (br, j2, k1) intermediates put the 32-wide k1 digit on
+        # the lanes and forced implicit Mosaic relayouts between stages.
         (syr, syi, spr, spi, srr, sri, sr0r, sr0i) = mats[30:38]
+        twr_n, twi_n = mats[26], mats[27]              # (k1, j2) natural
         P = jnp.concatenate([pr, pi], axis=1)          # (br, 2n1, n2)
-        yr = dgA(P, syr)                               # (br, j2, k1)
-        yi = dgA(P, syi)
-        tr = yr * trt - yi * tit
-        ti = yr * tit + yi * trt
-        T = jnp.concatenate([tr, ti], axis=1)          # (br, 2j2, k1)
-        Pr = dgB(T, spr)                               # (br, k1, k2)
-        Pi = dgB(T, spi)
-        T2 = dgL(T, j1m)                               # k1 -> sigma1(k1)
-        Rr_b = dgB(T2, srr)
-        Ri_b = dgB(T2, sri)
-        t0 = T[:, :, :1]
-        R0r = dgB(t0, sr0r)
-        R0i = dgB(t0, sr0i)
+        yr = _dg_left(syr, P)                          # (br, k1, j2)
+        yi = _dg_left(syi, P)
+        tr = yr * twr_n - yi * twi_n
+        ti = yr * twi_n + yi * twr_n
+        T = jnp.concatenate([tr, ti], axis=2)          # (br, k1, 2j2)
+
+        def dg2(v, mat):                               # contract 2j2
+            return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_PREC)
+
+        Pr = dg2(T, spr)                               # (br, k1, k2)
+        Pi = dg2(T, spi)
+        T2 = _dg_left(j1m, T)                          # k1 -> sigma1(k1)
+        Rr_b = dg2(T2, srr)
+        Ri_b = dg2(T2, sri)
+        t0 = T[:, :1, :]
+        R0r = dg2(t0, sr0r)
+        R0i = dg2(t0, sr0i)
         Rr = jnp.concatenate([R0r, Rr_b[:, 1:, :]], axis=1)
         Ri = jnp.concatenate([R0i, Ri_b[:, 1:, :]], axis=1)
         Sr, Si = Pr + Rr, Pi - Ri
