@@ -7,7 +7,8 @@ import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
 os.environ.setdefault("LPT_SPLIT_IO", "bf16")
-os.environ.setdefault("LPT_CARRY_IO", "bf16")
+os.environ.setdefault("LPT_CARRY_IO", "f32")
+os.environ.setdefault("LPT_CARRY_TV", "i16")
 os.environ.setdefault("LPT_PALLAS_PRECISION", "default")
 import numpy as np, jax, jax.numpy as jnp
 from lenslesspicam_tpu.recon import admm_split
@@ -103,13 +104,14 @@ def loop_dc(rkr, rki, vr_, vi_, h0r, h0i, hmr, hmi, r0, rm, n):
 
 z_io = jnp.zeros((ph, pw), io)
 z_cr = jnp.zeros((ph, pw), cr)
+z_tv = jnp.zeros((ph, pw), pk2._CARRY_TV_DTYPE)
 z_h = jnp.asarray(rng.rand(ph, mh), io)
 pc = jnp.zeros((ph, 128), jnp.float32)
 v0 = jnp.zeros((ph, pw), cr)
 
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 if which in ("all", "e1"):
-    timed(loop_e1, (z_io, z_cr, z_cr, z_cr), "e1_rtv")
+    timed(loop_e1, (z_io, z_tv, z_tv, z_tv), "e1_rtv")
 if which in ("all", "hcd"):
     timed(loop_hcd, (z_h, z_h, z_h, z_h), "fft_h_combine_dual")
 if which in ("all", "invs"):
