@@ -317,40 +317,43 @@ def _h_passA_pair_kernel(n1, bj, scale, twiddle_first,
     twr = tr[:][0][:, :, None]
     twi = ti[:][0][:, :, None]
     f32 = jnp.float32
-    xr3 = jnp.concatenate([x1r_ref[:].astype(f32),
-                           x2r_ref[:].astype(f32)], axis=2)
-    xi3 = jnp.concatenate([x1i_ref[:].astype(f32),
-                           x2i_ref[:].astype(f32)], axis=2)
-    if twiddle_first:
-        xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
-        xr = xr3.reshape(n1, bj * 2 * bw)
-        xi = xi3.reshape(n1, bj * 2 * bw)
-        if _KSTACK:
-            x = jnp.concatenate([xr, xi], axis=0)
-            zr = _mm(f1r[:], x).reshape(n1, bj, 2 * bw)
-            zi = _mm(f1i[:], x).reshape(n1, bj, 2 * bw)
+
+    def one_plane(xr_ref, xi_ref, or_ref, oi_ref):
+        # per-plane, concat-free: the former lane-concat of the two
+        # planes cost full-block VPU copies per step
+        xr3 = xr_ref[:].astype(f32)
+        xi3 = xi_ref[:].astype(f32)
+        if twiddle_first:
+            xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
+            xr = xr3.reshape(n1, bj * bw)
+            xi = xi3.reshape(n1, bj * bw)
+            if _KSTACK:
+                x = jnp.concatenate([xr, xi], axis=0)
+                zr = _mm(f1r[:], x).reshape(n1, bj, bw)
+                zi = _mm(f1i[:], x).reshape(n1, bj, bw)
+            else:
+                zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
+                zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
         else:
-            zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
-            zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
-    else:
-        xr = xr3.reshape(n1, bj * 2 * bw)
-        xi = xi3.reshape(n1, bj * 2 * bw)
-        if _KSTACK:
-            x = jnp.concatenate([xr, xi], axis=0)
-            yr = _mm(f1r[:], x).reshape(n1, bj, 2 * bw)
-            yi = _mm(f1i[:], x).reshape(n1, bj, 2 * bw)
-        else:
-            yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, 2 * bw)
-            yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, 2 * bw)
-        zr = yr * twr - yi * twi
-        zi = yr * twi + yi * twr
-    if scale != 1.0:
-        zr = zr * scale
-        zi = zi * scale
-    o1r_ref[:] = zr[:, :, :bw].astype(o1r_ref.dtype)
-    o1i_ref[:] = zi[:, :, :bw].astype(o1i_ref.dtype)
-    o2r_ref[:] = zr[:, :, bw:].astype(o2r_ref.dtype)
-    o2i_ref[:] = zi[:, :, bw:].astype(o2i_ref.dtype)
+            xr = xr3.reshape(n1, bj * bw)
+            xi = xi3.reshape(n1, bj * bw)
+            if _KSTACK:
+                x = jnp.concatenate([xr, xi], axis=0)
+                yr = _mm(f1r[:], x).reshape(n1, bj, bw)
+                yi = _mm(f1i[:], x).reshape(n1, bj, bw)
+            else:
+                yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
+                yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
+            zr = yr * twr - yi * twi
+            zi = yr * twi + yi * twr
+        if scale != 1.0:
+            zr = zr * scale
+            zi = zi * scale
+        or_ref[:] = zr.astype(or_ref.dtype)
+        oi_ref[:] = zi.astype(oi_ref.dtype)
+
+    one_plane(x1r_ref, x1i_ref, o1r_ref, o1i_ref)
+    one_plane(x2r_ref, x2i_ref, o2r_ref, o2i_ref)
 
 
 def h_passA_pair(x1r, x1i, x2r, x2i, n, inverse, bj=None, bw=None):
@@ -756,16 +759,13 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
         # left matmul (_dg_left): the output lands directly in the
         # (kb, n2, wv) block layout — the former swapaxes relayouts
         # (8 per grid step) disappear entirely
-        wv = vr.shape[2]
         if _KSTACK:
             t = jnp.concatenate([vr, vi], axis=1)      # (kb, 2n2, wv)
             return _dg_left(mr, t), _dg_left(mi, t)
-        vr2 = jnp.swapaxes(vr, 0, 1).reshape(n2, kb * wv)
-        vi2 = jnp.swapaxes(vi, 0, 1).reshape(n2, kb * wv)
-        zr = _mm(mr, vr2) - _mm(mi, vi2)
-        zi = _mm(mr, vi2) + _mm(mi, vr2)
-        return (jnp.swapaxes(zr.reshape(n2, kb, wv), 0, 1),
-                jnp.swapaxes(zi.reshape(n2, kb, wv), 0, 1))
+        # concat-free: mr/mi are the plain (n2, n2) stage matrices
+        zr = _dg_left(mr, vr) - _dg_left(mi, vi)
+        zi = _dg_left(mr, vi) + _dg_left(mi, vr)
+        return zr, zi
 
     f32 = jnp.float32
     if _CONCAT_FUSE:
@@ -1114,6 +1114,11 @@ def ifft_w_dual(a0r, a0i, a1r, a1i, block_rows=None):
 _N_RMATS = 44  # 30 base + 14 K-stacked complex-matmul operands
 
 _KSTACK = _os.environ.get("LPT_KSTACK", "1") != "0"
+# finer knobs: the K-stack concats are VPU copies; in the INVERSE core
+# the non-stacked path is already layout-clean, so its stacking can be
+# net-negative — separately toggleable for measurement
+_KSTACK_INV = _KSTACK and _os.environ.get("LPT_KSTACK_INV", "1") != "0"
+_DUAL_CONCAT = _os.environ.get("LPT_DUAL_CONCAT", "1") != "0"
 
 
 def _rplan_mats(n_full, inverse):
@@ -1218,21 +1223,6 @@ def _w_rfwd_core(x2d, n1, n2, mats):
     pr = x2d[:, :m].reshape(br, n1, n2)
     pi = x2d[:, m:].reshape(br, n1, n2)
 
-    def dgA(v, mat):
-        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
-
-    def dgB(v, mat):
-        return jax.lax.dot_general(v, mat, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
-
-    def dgL(v, mat):                           # lane permutation of k1
-        return jax.lax.dot_general(v, mat, (((2,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
-
     if _KSTACK and n1 > 1:
         # K-stacked LEFT-BATCHED path: each complex contraction pair is
         # ONE matmul against [re; im] stacked along the contracted axis,
@@ -1271,37 +1261,37 @@ def _w_rfwd_core(x2d, n1, n2, mats):
         Zi = jnp.where(mask00 > 0, Pr - Pi, Zi)
         return Zr.reshape(br, m), Zi.reshape(br, m)
 
-    yr = dgA(pr, f1r) - dgA(pi, f1i)          # (br, j2, k1)
-    yi = dgA(pr, f1i) + dgA(pi, f1r)
-    tr = yr * trt - yi * tit
-    ti = yr * tit + yi * trt
+    # left-batched concat-free path (LPT_KSTACK=0): same 128-minor
+    # layouts as the K-stacked branch but twice the matmuls and ZERO
+    # concat copies — on this TPU the per-step VPU copies of the
+    # stacked operands can outweigh the matmul savings
+    twr_n, twi_n = mats[26], mats[27]              # (k1, j2) natural
 
-    Pr = dgB(tr, f2r) - dgB(ti, f2i)          # (br, k1, k2)
-    Pi = dgB(tr, f2i) + dgB(ti, f2r)
-    if n1 == 1:                                # degenerate: only row 0
-        Rr = dgB(tr, f2ra) - dgB(ti, f2ia)
-        Ri = dgB(tr, f2ia) + dgB(ti, f2ra)
+    def dg2(v, mat):                               # contract j2 digit
+        return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+
+    yr = _dg_left(f1r, pr) - _dg_left(f1i, pi)     # (br, k1, j2)
+    yi = _dg_left(f1i, pr) + _dg_left(f1r, pi)
+    tr = yr * twr_n - yi * twi_n
+    ti = yr * twi_n + yi * twr_n
+
+    Pr = dg2(tr, f2r) - dg2(ti, f2i)               # (br, k1, k2)
+    Pi = dg2(tr, f2i) + dg2(ti, f2r)
+    if n1 == 1:                                    # degenerate: only row 0
+        Rr = dg2(tr, f2ra) - dg2(ti, f2ia)
+        Ri = dg2(tr, f2ia) + dg2(ti, f2ra)
     else:
-        t2r = dgL(tr, j1m)                     # t at k1 -> sigma1(k1)
-        t2i = dgL(ti, j1m)
-        Rr_b = dgB(t2r, f2rb) - dgB(t2i, f2ib)
-        Ri_b = dgB(t2r, f2ib) + dgB(t2i, f2rb)
+        t2r = _dg_left(j1m, tr)                    # k1 -> sigma1(k1)
+        t2i = _dg_left(j1m, ti)
+        Rr_b = dg2(t2r, f2rb) - dg2(t2i, f2ib)
+        Ri_b = dg2(t2r, f2ib) + dg2(t2i, f2rb)
         # row k1 = 0 (self-mirrored) uses the J2a lane permutation;
-        # sigma1(0) = 0 so it reads t's own lane 0
-        t0r, t0i = tr[:, :, :1], ti[:, :, :1]
-        R0r = (jax.lax.dot_general(t0r, f2ra, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
-               - jax.lax.dot_general(t0i, f2ia, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=_PREC))
-        R0i = (jax.lax.dot_general(t0r, f2ia, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_PREC)
-               + jax.lax.dot_general(t0i, f2ra, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=_PREC))
-        # R0? comes out (br, 1, k2): lhs remaining dims (br, 1) + rhs k2
+        # sigma1(0) = 0 so it reads t's own row 0
+        t0r, t0i = tr[:, :1, :], ti[:, :1, :]
+        R0r = dg2(t0r, f2ra) - dg2(t0i, f2ia)
+        R0i = dg2(t0r, f2ia) + dg2(t0i, f2ra)
         Rr = jnp.concatenate([R0r, Rr_b[:, 1:, :]], axis=1)
         Ri = jnp.concatenate([R0i, Ri_b[:, 1:, :]], axis=1)
     Sr, Si = Pr + Rr, Pi - Ri
@@ -1345,7 +1335,7 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
-    if _KSTACK and _BATCHED_DG:
+    if _KSTACK_INV and _BATCHED_DG:
         # K-stacked path: one matmul per complex contraction output
         # (see _rplan_mats) — 8 MXU ops instead of 20
         spr, spi = mats[32], mats[33]
@@ -1584,7 +1574,7 @@ def _w_rinv_dual_kernel(n1, n2, scale,
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
-    if _CONCAT_FUSE:
+    if _CONCAT_FUSE and _DUAL_CONCAT:
         out = _w_rinv_core(jnp.concatenate([a0r, a1r], axis=0),
                            jnp.concatenate([a0i, a1i], axis=0),
                            n1, n2, scale, mats)
@@ -1688,7 +1678,7 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     a0i = jnp.where(lane0, p0i_ref[:][:, :1], a0i_ref[:].astype(f32))
     a1r = jnp.where(lane0, p1r_ref[:][:, :1], a1r_ref[:].astype(f32))
     a1i = jnp.where(lane0, p1i_ref[:][:, :1], a1i_ref[:].astype(f32))
-    if _CONCAT_FUSE:
+    if _CONCAT_FUSE and _DUAL_CONCAT:
         out = _w_rinv_core(jnp.concatenate([a0r, a1r], axis=0),
                            jnp.concatenate([a0i, a1i], axis=0),
                            n1, n2, scale, imats)
@@ -1751,11 +1741,14 @@ def _e_block_rows_v3(m, w, which="E1R"):
            or _os.environ.get("LPT_E_BLOCK3"))
     small_tv = _CARRY_TV_DTYPE != jnp.float32
     if which == "E1R":
-        # e1_rtv blocks hold a0 x2/a1/b (TV dtype) + image/rk (io)
+        # e1_rtv blocks hold a0 x2/a1/b (TV dtype) + image/rk (io);
+        # 48 exceeds the 16 MB scoped-VMEM limit by ~0.4 MB even at i16
         default = 32 if small_tv else 16
     else:
-        # the dual-inverse state kernel holds the f32 v carry
-        default = 32 if _CARRY_DTYPE == jnp.bfloat16 else 16
+        # the dual-inverse state kernel holds the f32 v carry and two
+        # full mats stacks; 32 exceeds scoped VMEM by ~2.9 MB -> 24
+        default = (32 if _CARRY_DTYPE == jnp.bfloat16
+                   else (24 if small_tv else 16))
     return _pick_block(m, int(env) if env else default)
 
 
