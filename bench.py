@@ -376,6 +376,12 @@ def time_admm_mode(shape, mode, n_iter=30, base_iter=2, repeats=3,
 
 def run_mode(mode: str, shape=(3040, 4056)):
     """Measure an RGB or batch=4 rung and print its JSON line."""
+    # vmapped pallas kernels gain a leading grid dimension whose
+    # prefetch adds a buffer set — the single-image row blocks exceed
+    # scoped VMEM under vmap (measured +~40%), so the mode rungs run
+    # tighter blocks unless explicitly overridden
+    os.environ.setdefault("LPT_E1R_BLOCK", "24")
+    os.environ.setdefault("LPT_E2R_BLOCK", "16")
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     label = f"{shape[0] * shape[1] / 1e6:.0f}MP"
