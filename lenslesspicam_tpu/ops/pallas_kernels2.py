@@ -145,6 +145,22 @@ _CARRY_TV_DTYPE = {"i16": jnp.int16, "bf16": jnp.bfloat16}.get(
     _CARRY_TV, _CARRY_DTYPE)
 
 
+def _io_bj_default():
+    """Default pass-A j-block: 32 at 2-byte io, 16 at f32 io.  The pair
+    kernel holds 8 double-buffered data blocks plus ~6 live f32
+    temporaries per plane; at 4-byte io the 32-block footprint exceeds
+    the 16 MB scoped-VMEM limit by ~8 MB at 12 MP (measured compile
+    OOM), so the f32 fallback path halves the block."""
+    return 32 if jnp.dtype(_IO_DTYPE).itemsize == 2 else 16
+
+
+def _io_kb_default():
+    """Default pass-B/combine k-block, io-dtype-aware like
+    :func:`_io_bj_default` (the combine-dual kernel holds 11 data
+    blocks; 4-byte io at kb=8 sits against the scoped-VMEM limit)."""
+    return 8 if jnp.dtype(_IO_DTYPE).itemsize == 2 else 4
+
+
 def _tv_scales(mu2, mu3, tau):
     """Fixed-point full-scale values for the int16 TV carries, from the
     KKT bounds (assumes max-normalized measurements, the standard
@@ -279,7 +295,7 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     """x planes shaped (n1, n2, W)."""
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = xr.shape
-    bj = bj or (n2 if n2 % 8 else min(int(_os.environ.get("LPT_PALLAS_BJ", "32")), n2))
+    bj = bj or (n2 if n2 % 8 else min(int(_os.environ.get("LPT_PALLAS_BJ") or _io_bj_default()), n2))
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
     data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
                              memory_space=pltpu.VMEM)
@@ -362,7 +378,7 @@ def h_passA_pair(x1r, x1i, x2r, x2i, n, inverse, bj=None, bw=None):
     ((z1r, z1i), (z2r, z2i))."""
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = x1r.shape
-    bj = bj or (n2 if n2 % 8 else min(int(_os.environ.get("LPT_PALLAS_BJ", "32")), n2))
+    bj = bj or (n2 if n2 % 8 else min(int(_os.environ.get("LPT_PALLAS_BJ") or _io_bj_default()), n2))
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
     data_spec = pl.BlockSpec((n1, bj, bw), lambda j, k: (0, j, k),
                              memory_space=pltpu.VMEM)
@@ -420,7 +436,7 @@ def h_passB(yr, yi, n, inverse, filt_r=None, filt_i=None, bw=None, kb=None):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, inverse)
     _, _, w = yr.shape
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
-    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -652,7 +668,7 @@ def h_passB_combine(yr, yi, ar, ai, hr, hi, rr, n, bw=None, kb=None):
     _, _, _, _, _, _, _, n1, n2 = _mats(n, False)
     _, _, w = yr.shape
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
-    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -719,7 +735,7 @@ def fft_h_combine2(rkr, rki, vr, vi, hr, hi, rr, h):
     ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
                          h, False)
     bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
-    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
+    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -826,7 +842,7 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
         ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
                              h, False)
     bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
-    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
+    kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
@@ -892,7 +908,7 @@ def h_passB_dual(yr, yi, hr, hi, n, bw=None, kb=None):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _mats(n, True)
     _, _, w = yr.shape
     bw = bw or (w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w))
-    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB", "8")))
+    kb = kb or _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
