@@ -132,7 +132,13 @@ def verify_split(jax):
     # than XLA's FFT, amplified by the 1/mu3 gain into a ~1e-2 state
     # difference; the guard below is a loose divergence bound and the
     # REAL acceptance criterion is the scene-reconstruction quality gate.
-    assert err < 5e-2, f"split solver diverges: {err}"
+    # quantized carries (int16 v / TV planes) add mu1-scaled state noise
+    # that 1/mu3 amplifies past the f32 bound; the PSNR gates below are
+    # the real acceptance criterion for those configs
+    quantized = "i16" in (os.environ.get("LPT_CARRY_V", ""),
+                          os.environ.get("LPT_CARRY_TV", ""))
+    bound = 2e-1 if quantized else 5e-2
+    assert err < bound, f"split solver diverges: {err}"
     print(f"verify split ok (rel err vs standard: {err:.2e})", file=sys.stderr)
 
     # quality gate: reconstructing structured scenes from simulated
@@ -325,8 +331,12 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
         return _timed(run, base_iter, n_iter, repeats)
 
 
-def time_admm_mode(shape, mode, n_iter=30, base_iter=2, repeats=3,
+def time_admm_mode(shape, mode, n_iter=150, base_iter=2, repeats=4,
                    batch=4):
+    # n_iter is sized so the iteration signal (~several seconds)
+    # dominates the per-call dispatch noise: the vmapped 12MP solves
+    # carry ~8 s of fixed per-call overhead over the tunnel, and at
+    # n_iter=30 the difference method measured NEGATIVE deltas
     """Time the batched/RGB fused backend: mode 'rgb' runs one 3-channel
     image, mode 'batch' runs `batch` grayscale images — both as ONE jit
     solve (vmapped Pallas grids).  Returns image-iterations/s (solver
@@ -459,6 +469,14 @@ def main():
                     # child); the f32 fallback goes fully exact
                     LPT_CARRY_TV=os.environ.get(
                         "BENCH_CARRY_TV",
+                        "i16" if split_io == "bf16" else "f32"),
+                    # the mu1-scaled v carry rides int16 fixed point at
+                    # 64*mu1 full scale (<=0.04 dB at n=300,
+                    # scripts/dev/_probe_vquant.py) — v is the last
+                    # f32 plane in the hot loop and f32 HBM streams
+                    # 2.3x slower per byte on this TPU
+                    LPT_CARRY_V=os.environ.get(
+                        "BENCH_CARRY_V",
                         "i16" if split_io == "bf16" else "f32"),
                     # measured-best carry-kernel row block at 12MP
                     LPT_E_BLOCK=os.environ.get("BENCH_E_BLOCK", "16"),

@@ -144,6 +144,32 @@ _CARRY_TV = _os.environ.get("LPT_CARRY_TV", "").lower()
 _CARRY_TV_DTYPE = {"i16": jnp.int16, "bf16": jnp.bfloat16}.get(
     _CARRY_TV, _CARRY_DTYPE)
 
+# The v carry (v = mu1*X - xi).  |v| is mu1-SCALED: mu1*X <= mu1 for
+# max-normalized measurements and xi accumulates mu1-sized steps, so
+# the observed 300-iteration max is ~14*mu1 on the bench scenes
+# (scripts/dev/_probe_vquant.py).  int16 fixed point at 64*mu1 full
+# scale (4.7x headroom, resolution 2e-3*mu1) costs <= 0.04 dB at
+# n_iter=300 — unlike bf16 (-2.4 dB: only 8 mantissa bits against an
+# accumulating random walk).  Opt-in (LPT_CARRY_V=i16), bench-gated.
+_CARRY_V = _os.environ.get("LPT_CARRY_V", "").lower()
+_CARRY_V_DTYPE = {"i16": jnp.int16, "bf16": jnp.bfloat16}.get(
+    _CARRY_V, _CARRY_DTYPE)
+
+
+def _v_scale(mu1):
+    """Fixed-point full scale for the int16 v carry (see above)."""
+    return 64.0 * mu1
+
+
+def encode_v(x, mu1):
+    """Encode an f32 v plane into the carry storage dtype (XLA-side
+    counterpart of _store_carry, for loop-state initialization)."""
+    if _CARRY_V_DTYPE == jnp.int16:
+        s = 32767.0 / _v_scale(mu1)
+        return jnp.round(jnp.clip(x * s, -32767.0, 32767.0)
+                         ).astype(jnp.int16)
+    return x.astype(_CARRY_V_DTYPE)
+
 
 def _io_bj_default():
     """Default pass-A j-block: 32 at 2-byte io, 16 at f32 io.  The pair
@@ -1001,11 +1027,11 @@ def _e1c_kernel(n1, n2, mu1, mu2, mu3, tau, c_in, c_out,
     rk = b + adj0 + adj1
 
     fwdv = fwd_ref[:].astype(f32)
-    xi = mu1 * fwdv - v_ref[:].astype(f32)
+    xi = mu1 * fwdv - _load_carry(v_ref[:], _v_scale(mu1))
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
     X = xdv * (xi + mu1 * fwdv + dp_ref[:].astype(f32))
     v = mu1 * X - xi
-    vo_ref[:] = v.astype(vo_ref.dtype)
+    _store_carry(vo_ref, v, _v_scale(mu1))
 
     mats = (f1r[:], f1i[:], f2r[:], f2i[:], trt[:], tit[:])
     if _CONCAT_FUSE:
@@ -1068,6 +1094,7 @@ def e1_carry(image, fwd, v, b, a0, a1, mask, dp,
     mt = pl.BlockSpec((n2, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     io_sh = jax.ShapeDtypeStruct((m, w), _IO_DTYPE)
     cr_sh = jax.ShapeDtypeStruct((m, w), _CARRY_DTYPE)
+    cr_v = jax.ShapeDtypeStruct((m, w), _CARRY_V_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
@@ -1081,7 +1108,7 @@ def e1_carry(image, fwd, v, b, a0, a1, mask, dp,
                   m1, m1, m2, m2, mt, mt],
         out_specs=(spec_c,) * 8,
         out_shape=(io_sh, io_sh, io_sh, io_sh,     # rk/v W-spectra
-                   cr_sh,                          # v'
+                   cr_v,                           # v'
                    cr_sh, cr_sh, cr_sh),           # a0', a1', b'
         interpret=_INTERPRET,
     )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
@@ -1553,11 +1580,11 @@ def _e1cr_kernel(n1, n2, mh, mu1, mu2, mu3, tau, c_in, c_out,
     rk = b + adj0 + adj1
 
     fwdv = fwd_ref[:].astype(f32)
-    xi = mu1 * fwdv - v_ref[:].astype(f32)
+    xi = mu1 * fwdv - _load_carry(v_ref[:], _v_scale(mu1))
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
     X = xdv * (xi + mu1 * fwdv + dp_ref[:].astype(f32))
     v = mu1 * X - xi
-    vo_ref[:] = v.astype(vo_ref.dtype)
+    _store_carry(vo_ref, v, _v_scale(mu1))
 
     if _CONCAT_FUSE:
         brr = rk.shape[0]
@@ -1620,7 +1647,7 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
                           memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
-    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
+    cr_v = jax.ShapeDtypeStruct((m, n_full), _CARRY_V_DTYPE)
     cr_tv = jax.ShapeDtypeStruct((m, n_full), _CARRY_TV_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
@@ -1635,7 +1662,7 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
                  + _const_specs(mats),
         out_specs=(spec_h,) * 4 + (spec_c,) * 4,
         out_shape=(io_h, io_h, io_h, io_h,          # rk/v half spectra
-                   cr_sh, cr_tv, cr_tv, cr_tv),     # v', a0', a1', b'
+                   cr_v, cr_tv, cr_tv, cr_tv),      # v', a0', a1', b'
         interpret=_INTERPRET,
     )(image, image, image, a0, a0, a1, v, b, fwd, mask, dp, *mats)
 
@@ -1704,11 +1731,11 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
         fwd = _w_rinv_core(a1r, a1i, n1, n2, scale, imats)
     img_ref[:] = image.astype(img_ref.dtype)
 
-    xi = mu1 * fwd - v_ref[:].astype(f32)
+    xi = mu1 * fwd - _load_carry(v_ref[:], _v_scale(mu1))
     xdv = c_out + (c_in - c_out) * mask_ref[:].astype(f32)
     X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
     v = mu1 * X - xi
-    vo_ref[:] = v.astype(vo_ref.dtype)
+    _store_carry(vo_ref, v, _v_scale(mu1))
     zr, zi = _w_rfwd_core(v, n1, n2, fmats)
     vwr_ref[:] = zr.astype(vwr_ref.dtype)
     vwi_ref[:] = zi.astype(vwi_ref.dtype)
@@ -1731,7 +1758,7 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
                             memory_space=pltpu.VMEM)
     io_sh = jax.ShapeDtypeStruct((m, n_full), _IO_DTYPE)
     io_h = jax.ShapeDtypeStruct((m, mh), _IO_DTYPE)
-    cr_sh = jax.ShapeDtypeStruct((m, n_full), _CARRY_DTYPE)
+    cr_v = jax.ShapeDtypeStruct((m, n_full), _CARRY_V_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
@@ -1740,7 +1767,7 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
         in_specs=[spec_h] * 4 + [spec_col] * 4 + [spec_c] * 3
                  + _const_specs(imats) + _const_specs(fmats),
         out_specs=(spec_c, spec_c, spec_h, spec_h),
-        out_shape=(io_sh, cr_sh, io_h, io_h),
+        out_shape=(io_sh, cr_v, io_h, io_h),
         interpret=_INTERPRET,
     )(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, v, mask, dp, *imats, *fmats)
 
@@ -1761,10 +1788,12 @@ def _e_block_rows_v3(m, w, which="E1R"):
         # 48 exceeds the 16 MB scoped-VMEM limit by ~0.4 MB even at i16
         default = 32 if small_tv else 16
     else:
-        # the dual-inverse state kernel holds the f32 v carry and two
-        # full mats stacks; 32 exceeds scoped VMEM by ~2.9 MB -> 24
-        default = (32 if _CARRY_DTYPE == jnp.bfloat16
-                   else (24 if small_tv else 16))
+        # the dual-inverse state kernel holds the v carry and two full
+        # mats stacks; with a 4-byte v, 32 exceeds scoped VMEM by
+        # ~2.9 MB -> 24.  A 2-byte v (bf16 or i16 fixed point) frees
+        # enough for the measured-best 32-row blocks.
+        small_v = jnp.dtype(_CARRY_V_DTYPE).itemsize == 2
+        default = 32 if small_v else (24 if small_tv else 16)
     return _pick_block(m, int(env) if env else default)
 
 

@@ -170,8 +170,9 @@ def run_split_fused(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),
     mask_c = jnp.asarray(pre.X_divmat * mu1 < 0.5, io)
     dp_c = jnp.asarray(pre.data_pad, io)
     zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
+    zeros_v = jnp.zeros((ph, pw), pk2._CARRY_V_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
-    state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_cr,
+    state = dict(image=zeros_io, fwd=zeros_io, v=zeros_v, b=zeros_cr,
                  a0=zeros_cr, a1=zeros_cr)
 
     def body(_, s):
@@ -302,7 +303,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
     # mantissa bits under bf16 io — covered by the bench PSNR gate
     mask_c = jnp.asarray(pre.mask, io)
     dp_c = jnp.asarray(pre.data_pad, io)
-    zeros_cr = jnp.zeros((ph, pw), pk2._CARRY_DTYPE)
+    zeros_v = jnp.zeros((ph, pw), pk2._CARRY_V_DTYPE)
     zeros_tv = jnp.zeros((ph, pw), pk2._CARRY_TV_DTYPE)
     zeros_io = jnp.zeros((ph, pw), io)
     H0 = jax.lax.complex(pre.H0r, pre.H0i)
@@ -341,7 +342,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         with pk2.forced_interpret(needs_interp):
             vwr0, vwi0 = pk2.rfft_w(v_init.astype(io))
         state = dict(image=zeros_io, a0=zeros_tv, a1=zeros_tv, b=zeros_tv,
-                     v=v_init.astype(pk2._CARRY_DTYPE),
+                     v=pk2.encode_v(v_init, mu1),
                      vwr=vwr0, vwi=vwi0)
 
         def body(_, s):
@@ -358,7 +359,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
             return dict(image=imgn, a0=a0n, a1=a1n, b=bn,
                         v=vn, vwr=vwrn, vwi=vwin)
     else:
-        state = dict(image=zeros_io, fwd=zeros_io, v=zeros_cr, b=zeros_tv,
+        state = dict(image=zeros_io, fwd=zeros_io, v=zeros_v, b=zeros_tv,
                      a0=zeros_tv, a1=zeros_tv)
 
         def body(_, s):

@@ -110,6 +110,8 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
                    else 4)
     tv_bytes = (2 if os.environ.get("LPT_CARRY_TV", "").lower()
                 in ("i16", "bf16") else carry_bytes)
+    v_bytes = (2 if os.environ.get("LPT_CARRY_V", "").lower()
+               in ("i16", "bf16") else carry_bytes)
     if v3:
         v_planes = 2                       # e2 v r+w
         tv_planes = carry_planes - v_planes
@@ -118,7 +120,7 @@ def fused_admm_bytes_per_iter(padded_shape, io_bytes=2, half_spectrum=True,
         tv_planes = carry_planes - v_planes
     b2 = a * (io_planes * io_bytes if io_bytes == 2 else 0)
     b4 = a * (io_planes * io_bytes if io_bytes == 4 else 0)
-    for planes, nbytes in ((v_planes, carry_bytes), (tv_planes, tv_bytes)):
+    for planes, nbytes in ((v_planes, v_bytes), (tv_planes, tv_bytes)):
         if nbytes == 2:
             b2 += a * planes * nbytes
         else:

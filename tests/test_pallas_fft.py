@@ -294,12 +294,68 @@ def test_rfused_int16_tv_carries():
 
     old = pk2._CARRY_TV_DTYPE
     pk2._CARRY_TV_DTYPE = jnp.int16
+    # the carry dtype is read at trace time from the module global: drop
+    # any cached trace of the same arg signature or the patch is a no-op
+    admm_split._run_rsplit_jit.clear_cache()
     try:
         pre = admm_split.precompute_rsplit(psf, meas)
         out = np.asarray(admm_split.run_rsplit_jit(pre, ADMMParams(),
                                                    jnp.asarray(300)))
     finally:
         pk2._CARRY_TV_DTYPE = old
+        admm_split._run_rsplit_jit.clear_cache()
+
+    def psnr_of(x):
+        xn = x / max(x.max(), 1e-9)
+        sn = scene / scene.max()
+        return -10 * np.log10(np.mean((xn - sn) ** 2) + 1e-12)
+
+    assert abs(psnr_of(ref) - psnr_of(out)) < 0.2
+
+
+def test_rfused_int16_v_carry():
+    """int16 fixed-point v carry (mu1-scaled data-fidelity dual, full
+    scale 64*mu1) reconstructs a structured scene within 0.2 dB of the
+    exact solver at n_iter=300 (monkeypatched dtype; bench.py enables
+    it via LPT_CARRY_V=i16 behind its own quality gates).  Validated
+    offline in scripts/dev/_probe_vquant.py: max|v| ~ 14*mu1 at 300
+    iterations, quantization cost <= 0.04 dB."""
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+    from lenslesspicam_tpu.recon import admm, admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    h, w = 96, 128
+    rng = np.random.RandomState(2)
+    scene = np.zeros((h, w), np.float32)
+    scene[25:45, 20:70] = 0.9
+    scene[55:75, 60:120] = 0.4
+    psf = np.zeros((h, w), np.float32)
+    ys, xs = rng.randint(0, h, 200), rng.randint(0, w, 200)
+    psf[ys, xs] = rng.rand(200)
+    psf /= np.linalg.norm(psf)
+    fwd = FFTConvolver.from_psf(psf[None, :, :, None], pad=True,
+                                norm="backward")
+    meas = np.asarray(fwd.convolve(jnp.asarray(
+        scene[None, None, :, :, None]))).squeeze()
+    meas = (meas / meas.max()).astype(np.float32)
+
+    conv = admm.make_convolver(psf[None, :, :, None])
+    ref = np.asarray(admm.run_jit(conv, jnp.asarray(
+        meas[None, None, :, :, None]), n_iter=300))[0, 0, :, :, 0]
+
+    old = pk2._CARRY_V_DTYPE
+    pk2._CARRY_V_DTYPE = jnp.int16
+    admm_split._run_rsplit_jit.clear_cache()  # see TV-carry test
+    try:
+        pre = admm_split.precompute_rsplit(psf, meas)
+        out = np.asarray(admm_split.run_rsplit_jit(pre, ADMMParams(),
+                                                   jnp.asarray(300)))
+    finally:
+        pk2._CARRY_V_DTYPE = old
+        admm_split._run_rsplit_jit.clear_cache()
 
     def psnr_of(x):
         xn = x / max(x.max(), 1e-9)
