@@ -9,6 +9,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 os.environ.setdefault("LPT_SPLIT_IO", "bf16")
 os.environ.setdefault("LPT_CARRY_IO", "f32")
 os.environ.setdefault("LPT_CARRY_TV", "i16")
+os.environ.setdefault("LPT_CARRY_V", "i16")
 os.environ.setdefault("LPT_PALLAS_PRECISION", "default")
 import numpy as np, jax, jax.numpy as jnp
 from lenslesspicam_tpu.recon import admm_split
@@ -22,7 +23,7 @@ pre = admm_split.precompute_rsplit(psf2d, data2d)
 ph, pw = pre.padded_shape
 mh = pw // 2
 io = pk2._IO_DTYPE
-cr = pk2._CARRY_DTYPE
+cr = pk2._CARRY_V_DTYPE
 p = admm_split.ADMMParams()
 
 mask_c = jnp.asarray(pre.mask, io)
