@@ -77,6 +77,7 @@ def benchmark(
     save_dir: Optional[str] = None,
     model=None,
     lpips_fn: Optional[Callable] = None,
+    lpips_alex_fn: Optional[Callable] = None,
     unrolled_output_factor: bool = False,
     pre_process_aux: bool = False,
     pnp: Optional[dict] = None,
@@ -95,6 +96,9 @@ def benchmark(
 
     lpips_fn: callable (pred_4d, target_4d) -> per-image LPIPS values
     (e.g. a jitted eval/lpips.LPIPS apply with converted weights).
+    lpips_alex_fn: same contract with the AlexNet backbone — emits the
+    LPIPS_Alex column the literature baselines report (reference
+    scripts/eval/benchmark_recon.py:387-414).
 
     unrolled_output_factor / pre_process_aux: when set, ``reconstruct``
     must return ``(prediction, unrolled, pre_processed, psfs_out)``
@@ -189,13 +193,16 @@ def benchmark(
         add("PSNR", vals["PSNR"], n)
         add("SSIM", vals["SSIM"], n)
 
-        if lpips_fn is not None:
+        if lpips_fn is not None or lpips_alex_fn is not None:
             p4 = max_normalize(pred.reshape(-1, *pred.shape[-3:]))
             t4 = max_normalize(lensed_c.reshape(-1, *lensed_c.shape[-3:]))
             if p4.shape[-1] == 1:   # LPIPS needs 3 channels
                 p4 = jnp.repeat(p4, 3, axis=-1)
                 t4 = jnp.repeat(t4, 3, axis=-1)
-            add("LPIPS_Vgg", lpips_fn(p4, t4), n)
+            if lpips_fn is not None:
+                add("LPIPS_Vgg", lpips_fn(p4, t4), n)
+            if lpips_alex_fn is not None:
+                add("LPIPS_Alex", lpips_alex_fn(p4, t4), n)
 
         if model is not None and hasattr(model, "reconstruction_error"):
             err = model.reconstruction_error(prediction=pred_original,
@@ -209,13 +216,16 @@ def benchmark(
             add("MSE_unrolled", uvals["MSE"], n)
             add("PSNR_unrolled", uvals["PSNR"], n)
             add("SSIM_unrolled", uvals["SSIM"], n)
-            if lpips_fn is not None:
+            if lpips_fn is not None or lpips_alex_fn is not None:
                 p4 = max_normalize(u.reshape(-1, *u.shape[-3:]))
                 t4 = max_normalize(lensed_c.reshape(-1, *lensed_c.shape[-3:]))
                 if p4.shape[-1] == 1:
                     p4 = jnp.repeat(p4, 3, axis=-1)
                     t4 = jnp.repeat(t4, 3, axis=-1)
-                add("LPIPS_Vgg_unrolled", lpips_fn(p4, t4), n)
+                if lpips_fn is not None:
+                    add("LPIPS_Vgg_unrolled", lpips_fn(p4, t4), n)
+                if lpips_alex_fn is not None:
+                    add("LPIPS_Alex_unrolled", lpips_alex_fn(p4, t4), n)
 
         if pre_process_aux and pre_process_out is not None and model is not None:
             err = model.reconstruction_error(prediction=pred_original,

@@ -1,22 +1,25 @@
-"""LPIPS (VGG16 backbone) in flax — perceptual metric/loss.
+"""LPIPS (VGG16 or AlexNet backbone) in flax — perceptual metric/loss.
 
 Replaces the reference's dependency on the ``lpips`` torch package
-(lensless/eval/benchmark.py:144-146, recon/utils.py LPIPS loss).  The
-VGG16 feature trunk and the per-layer 1x1 linear heads are implemented in
-flax; pretrained weights must be supplied (this environment has no
-network egress and no cached torchvision/lpips checkpoints):
+(lensless/eval/benchmark.py:144-146, recon/utils.py LPIPS loss).  Both
+backbones the reference exposes are implemented: ``net='vgg'`` (the
+training-loss default) and ``net='alex'`` (what the hardcoded Monakhova
+literature baselines in scripts/eval/benchmark_recon.py:387-414 report).
+Feature trunks and the per-layer 1x1 linear heads are flax modules;
+pretrained weights must be supplied (this environment has no network
+egress and no cached torchvision/lpips checkpoints):
 
-* ``load_torch_lpips(path)`` converts a torch LPIPS state-dict (the
-  ``lpips`` package format, incl. the embedded torchvision VGG16
-  features) to flax params;
-* ``random_params(key)`` yields randomly initialized params — only
-  useful for tests and API plumbing, NOT a perceptual metric.
+* ``load_torch_lpips(path, net=...)`` converts a torch LPIPS state-dict
+  (the ``lpips`` package format, incl. the embedded torchvision
+  VGG16/AlexNet features) to flax params;
+* ``random_params(key, net=...)`` yields randomly initialized params —
+  only useful for tests and API plumbing, NOT a perceptual metric.
 
 Architecture (Zhang et al. 2018): inputs in [0,1] are mapped to [-1,1],
-shifted/scaled by the ImageNet statistics, passed through VGG16 conv
-stages; features from relu1_2, relu2_2, relu3_3, relu4_3, relu5_3 are
-channel-unit-normalized, squared-differenced, weighted by learned
-non-negative 1x1 convs, spatially averaged, and summed.
+shifted/scaled by the ImageNet statistics, passed through the conv
+trunk; features after each of the 5 relu taps are channel-unit-
+normalized, squared-differenced, weighted by learned non-negative 1x1
+convs, spatially averaged, and summed.
 """
 
 from __future__ import annotations
@@ -28,6 +31,13 @@ import numpy as np
 
 # VGG16 conv plan: (out_channels, n_convs) per stage
 _VGG_STAGES = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+# AlexNet conv plan: (out_channels, kernel, stride, padding) per conv;
+# maxpool(3, stride 2) after relu1 and relu2 (torchvision features
+# indices 2 and 5) — feature taps after every relu
+_ALEX_CONVS = [(64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
+               (256, 3, 1, 1), (256, 3, 1, 1)]
+# torchvision ``features.N`` indices of the 5 convs (pools interleaved)
+_ALEX_FEAT_IDX = [0, 3, 6, 8, 10]
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -46,12 +56,31 @@ class _VGGFeatures(nn.Module):
         return feats
 
 
+class _AlexFeatures(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for i, (ch, k, s, p) in enumerate(_ALEX_CONVS):
+            x = nn.Conv(ch, (k, k), strides=(s, s), padding=p,
+                        name=f"conv{i}")(x)
+            x = nn.relu(x)
+            feats.append(x)
+            if i < 2:  # pools after relu1 and relu2 only
+                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return feats
+
+
 class LPIPS(nn.Module):
     """``__call__(pred, target)`` on (B, H, W, 3) images in [0, 1]."""
 
+    net: str = "vgg"
+
     @nn.compact
     def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
-        vgg = _VGGFeatures(name="vgg")
+        if self.net == "alex":
+            vgg = _AlexFeatures(name="alex")
+        else:
+            vgg = _VGGFeatures(name="vgg")
 
         def prep(img):
             img = 2.0 * img - 1.0  # torchmetrics normalize=True convention
@@ -73,20 +102,20 @@ class LPIPS(nn.Module):
         return total
 
 
-def random_params(key, image_shape=(1, 64, 64, 3)):
+def random_params(key, image_shape=(1, 64, 64, 3), net="vgg"):
     """Randomly initialized params (tests / plumbing only)."""
-    model = LPIPS()
+    model = LPIPS(net=net)
     dummy = jnp.zeros(image_shape, jnp.float32)
     return model.init(key, dummy, dummy)
 
 
-def load_torch_lpips(path):
-    """Convert a torch LPIPS(net='vgg') state dict to flax params.
+def load_torch_lpips(path, net="vgg"):
+    """Convert a torch LPIPS(net='vgg'|'alex') state dict to flax params.
 
     Accepts the ``lpips`` package checkpoint (lin heads) combined with a
-    torchvision VGG16 features state dict, or a single merged dict. Keys:
-    ``net.slice*``/``features.N.weight`` for convs, ``lin*.model.1.weight``
-    for heads.
+    torchvision VGG16/AlexNet features state dict, or a single merged
+    dict. Keys: ``net.slice*``/``features.N.weight`` for convs,
+    ``lin*.model.1.weight`` for heads.
     """
     import torch
 
@@ -94,28 +123,39 @@ def load_torch_lpips(path):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
 
-    # torchvision features index -> (stage, conv) mapping
-    order = []
-    idx = 0
-    for stage_idx, (_, n_convs) in enumerate(_VGG_STAGES):
-        for conv_idx in range(n_convs):
-            order.append((idx, stage_idx, conv_idx))
-            idx += 2  # conv + relu
-        idx += 1  # maxpool
-
-    params = {"vgg": {}}
-    for feat_idx, stage_idx, conv_idx in order:
-        w = None
-        for key_fmt in (f"features.{feat_idx}.weight", f"net.features.{feat_idx}.weight"):
+    def find_conv(feat_idx):
+        for key_fmt in (f"features.{feat_idx}.weight",
+                        f"net.features.{feat_idx}.weight"):
             if key_fmt in sd:
-                w = sd[key_fmt].numpy()
-                b = sd[key_fmt.replace("weight", "bias")].numpy()
-        if w is None:
-            raise KeyError(f"VGG conv features.{feat_idx} not found in checkpoint")
-        params["vgg"][f"conv{stage_idx}_{conv_idx}"] = {
-            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
-            "bias": jnp.asarray(b),
-        }
+                return (sd[key_fmt].numpy(),
+                        sd[key_fmt.replace("weight", "bias")].numpy())
+        raise KeyError(f"conv features.{feat_idx} not found in checkpoint")
+
+    if net == "alex":
+        params = {"alex": {}}
+        for i, feat_idx in enumerate(_ALEX_FEAT_IDX):
+            w, b = find_conv(feat_idx)
+            params["alex"][f"conv{i}"] = {
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "bias": jnp.asarray(b),
+            }
+    else:
+        # torchvision features index -> (stage, conv) mapping
+        order = []
+        idx = 0
+        for stage_idx, (_, n_convs) in enumerate(_VGG_STAGES):
+            for conv_idx in range(n_convs):
+                order.append((idx, stage_idx, conv_idx))
+                idx += 2  # conv + relu
+            idx += 1  # maxpool
+
+        params = {"vgg": {}}
+        for feat_idx, stage_idx, conv_idx in order:
+            w, b = find_conv(feat_idx)
+            params["vgg"][f"conv{stage_idx}_{conv_idx}"] = {
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "bias": jnp.asarray(b),
+            }
     for i in range(5):
         for key_fmt in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
             if key_fmt in sd:

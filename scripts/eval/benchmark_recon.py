@@ -52,6 +52,24 @@ def main(config):
 
     psf, batches, ds = _get_batches(config)
 
+    # optional perceptual metrics: jitted LPIPS fns from pretrained
+    # checkpoints (LPIPS_Alex = the literature-baseline backbone,
+    # reference scripts/eval/benchmark_recon.py:387-414)
+    lpips_fns = {}
+    for net, cfg_key in (("vgg", "lpips_vgg_weights"),
+                         ("alex", "lpips_alex_weights")):
+        path = getattr(config, cfg_key, None)
+        if path and os.path.exists(str(path)):
+            import jax
+
+            from lenslesspicam_tpu.eval.lpips import LPIPS, load_torch_lpips
+
+            variables = load_torch_lpips(str(path), net=net)
+            lpips_fns[net] = jax.jit(
+                lambda p, t, _v=variables, _n=net: LPIPS(net=_n).apply(_v, p, t))
+        elif path:
+            print(f"{cfg_key}={path} not found; skipping LPIPS-{net}")
+
     algo_map = {
         "ADMM": lambda: ADMM(psf, mu1=float(config.admm.mu1),
                              mu2=float(config.admm.mu2),
@@ -70,6 +88,8 @@ def main(config):
             res = benchmark(
                 lambda lensless: recon.batch_apply(lensless, n_iter=n_iter),
                 batches, snr=config.snr,
+                lpips_fn=lpips_fns.get("vgg"),
+                lpips_alex_fn=lpips_fns.get("alex"),
             )
             results[algo_name][int(n_iter)] = res
             print(f"{algo_name} n_iter={n_iter}: {res}")

@@ -98,6 +98,82 @@ def test_lpips_conversion_forward_parity(tmp_path):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def _build_alex_state_dict(rng):
+    """Random weights in the lpips(net='alex') checkpoint key layout
+    (torchvision AlexNet features indices 0,3,6,8,10)."""
+    sd = {}
+    in_ch = 3
+    for feat_idx, (ch, k, _s, _p) in zip(jlpips._ALEX_FEAT_IDX,
+                                         jlpips._ALEX_CONVS):
+        w = rng.randn(ch, in_ch, k, k).astype(np.float32) * 0.05
+        b = rng.randn(ch).astype(np.float32) * 0.05
+        sd[f"features.{feat_idx}.weight"] = torch.tensor(w)
+        sd[f"features.{feat_idx}.bias"] = torch.tensor(b)
+        in_ch = ch
+    for i, (ch, _k, _s, _p) in enumerate(jlpips._ALEX_CONVS):
+        w = np.abs(rng.randn(1, ch, 1, 1).astype(np.float32)) * 0.05
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(w)
+    return sd
+
+
+def _torch_lpips_alex_forward(sd, pred_nchw, tgt_nchw):
+    """The lpips package alex forward, verbatim algebra (normalize=True)."""
+    import torch.nn.functional as F
+
+    shift = torch.tensor(jlpips._SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(jlpips._SCALE).view(1, 3, 1, 1)
+
+    def prep(x):
+        return (2.0 * x - 1.0 - shift) / scale
+
+    def alex_feats(x):
+        feats = []
+        for i, (feat_idx, (_ch, _k, s, p)) in enumerate(
+                zip(jlpips._ALEX_FEAT_IDX, jlpips._ALEX_CONVS)):
+            x = F.conv2d(x, sd[f"features.{feat_idx}.weight"],
+                         sd[f"features.{feat_idx}.bias"], stride=s, padding=p)
+            x = F.relu(x)
+            feats.append(x)
+            if i < 2:
+                x = F.max_pool2d(x, 3, 2)
+        return feats
+
+    fa = alex_feats(prep(pred_nchw))
+    fb = alex_feats(prep(tgt_nchw))
+    val = 0.0
+    for i, (a, b) in enumerate(zip(fa, fb)):
+        na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        diff = (na - nb) ** 2
+        w = sd[f"lin{i}.model.1.weight"]
+        val = val + (diff * w).sum(1).mean(dim=(1, 2))
+    return val
+
+
+def test_lpips_alex_conversion_forward_parity(tmp_path):
+    """LPIPS-Alex — the backbone the Monakhova literature baselines use
+    (reference scripts/eval/benchmark_recon.py:387-414,
+    lensless/eval/benchmark.py:144-146)."""
+    rng = np.random.RandomState(2)
+    sd = _build_alex_state_dict(rng)
+    ckpt = tmp_path / "lpips_alex.pth"
+    torch.save(sd, ckpt)
+
+    # 64px input: conv1 (s4) -> 15px, two pools -> 3px at the tail
+    pred = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tgt = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_lpips_alex_forward(
+            sd, torch.tensor(pred.transpose(0, 3, 1, 2)),
+            torch.tensor(tgt.transpose(0, 3, 1, 2))).numpy()
+
+    variables = jlpips.load_torch_lpips(str(ckpt), net="alex")
+    out = np.asarray(jlpips.LPIPS(net="alex").apply(variables, pred, tgt))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_lpips_conversion_net_prefixed_keys(tmp_path):
     """The merged-checkpoint layout (net.features.N.*) converts too."""
     rng = np.random.RandomState(1)

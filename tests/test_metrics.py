@@ -124,12 +124,16 @@ def test_benchmark_full_metrics():
     from lenslesspicam_tpu.recon.base import ADMM
 
     rng = np.random.RandomState(6)
-    psf = rng.rand(1, 24, 32, 3).astype(np.float32)
+    psf = rng.rand(1, 32, 48, 3).astype(np.float32)
     psf /= np.linalg.norm(psf)
     model = ADMM(psf, n_iter=3)
     lp = LPIPS()
-    lp_params = random_params(jax.random.PRNGKey(0), image_shape=(1, 24, 32, 3))
+    lp_params = random_params(jax.random.PRNGKey(0), image_shape=(1, 32, 48, 3))
     lpips_fn = jax.jit(lambda p, t: lp.apply(lp_params, p, t))
+    lp_alex = LPIPS(net="alex")
+    alex_params = random_params(jax.random.PRNGKey(1),
+                                image_shape=(1, 32, 48, 3), net="alex")
+    lpips_alex_fn = jax.jit(lambda p, t: lp_alex.apply(alex_params, p, t))
 
     def reconstruct(lensless):
         pred = model.batch_apply(lensless)
@@ -138,14 +142,17 @@ def test_benchmark_full_metrics():
         return pred, unrolled, preproc, None
 
     batches = [{
-        "lensless": rng.rand(2, 1, 24, 32, 3).astype(np.float32),
-        "lensed": rng.rand(2, 1, 24, 32, 3).astype(np.float32),
+        "lensless": rng.rand(2, 1, 32, 48, 3).astype(np.float32),
+        "lensed": rng.rand(2, 1, 32, 48, 3).astype(np.float32),
     }]
     res = benchmark(reconstruct, batches, model=model, lpips_fn=lpips_fn,
+                    lpips_alex_fn=lpips_alex_fn,
                     unrolled_output_factor=True, pre_process_aux=True)
-    expected = {"MSE", "PSNR", "SSIM", "LPIPS_Vgg", "ReconstructionError",
+    expected = {"MSE", "PSNR", "SSIM", "LPIPS_Vgg", "LPIPS_Alex",
+                "ReconstructionError",
                 "MSE_unrolled", "PSNR_unrolled", "SSIM_unrolled",
-                "LPIPS_Vgg_unrolled", "ReconstructionError_PreProc"}
+                "LPIPS_Vgg_unrolled", "LPIPS_Alex_unrolled",
+                "ReconstructionError_PreProc"}
     assert expected <= set(res)
     assert all(np.isfinite(v) for v in res.values())
 

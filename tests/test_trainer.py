@@ -37,7 +37,9 @@ def test_trainer_loss_decreases(tmp_path):
     trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg)
     log = trainer.train(verbose=False)
     losses = [log[e]["loss"] for e in range(1, 4)]
-    assert losses[-1] < losses[0] * 1.5  # moving, not exploding
+    # the observable contract of training (reference recon/utils.py:1356):
+    # loss must actually DECREASE over epochs, not merely avoid exploding
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
     assert all(np.isfinite(v) for v in losses)
     assert (tmp_path / "ckpt" / "metrics.json").exists()
     assert (tmp_path / "ckpt" / "recon_epochBEST").exists()
