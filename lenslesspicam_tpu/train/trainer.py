@@ -197,7 +197,8 @@ class Trainer:
     def __init__(self, model, psf, train_loader, test_batches,
                  config: TrainerConfig = TrainerConfig(),
                  lpips_apply=None, mask=None, seed=0,
-                 extra_eval_sets: Optional[dict] = None):
+                 extra_eval_sets: Optional[dict] = None,
+                 loggers: Optional[list] = None):
         self.model = model
         self.psf = jnp.asarray(psf)
         self.train_loader = train_loader
@@ -209,6 +210,11 @@ class Trainer:
         # 'batches' and optional 'psf' (used when the set is not
         # multimask, i.e. its batches don't carry per-sample 'psfs')
         self.extra_eval_sets = extra_eval_sets or {}
+        # observability sinks: callables (data_dict, step) -> None with
+        # the wandb.log signature (see train/loggers.py; reference
+        # utils.py:729-733, 1228-1307).  Per-step loss/lr and per-epoch
+        # train loss + eval metrics flow through every logger.
+        self.loggers: list = list(loggers or [])
         self.metrics_log: dict = {}
         # per-step scalar log (local wandb equivalent): appended as JSON
         # lines to <save_dir>/train_log.jsonl by train() each epoch
@@ -419,7 +425,19 @@ class Trainer:
             self._global_step += 1
             self._step_log.append({"step": self._global_step,
                                    "loss": float(loss)})
+            self._log({"train/loss_step": float(loss)}, self._global_step)
         return float(np.mean(losses)) if losses else float("nan")
+
+    def _log(self, data: dict, step: int):
+        """Fan a scalar dict out to every registered logger; a failing
+        sink must never take training down (observability is additive)."""
+        for logger in self.loggers:
+            try:
+                logger(data, step)
+            except Exception as e:  # pragma: no cover - defensive
+                import warnings
+
+                warnings.warn(f"logger {logger!r} failed: {e}")
 
     def _flush_step_log(self, epoch: int):
         """Append this epoch's per-step scalars to train_log.jsonl —
@@ -511,6 +529,8 @@ class Trainer:
             metrics0 = self.evaluate()
             self.metrics_log[0] = {"eval": metrics0}
             self._maybe_update_best(metrics0)
+            self._log(dict({"epoch": 0},
+                           **{f"eval/{k}": v for k, v in metrics0.items()}), 0)
         cfg = self.config
         if start_epoch:
             # replay schedule flags for the skipped epochs
@@ -562,12 +582,17 @@ class Trainer:
             self.metrics_log[epoch] = {"loss": train_loss, "eval": eval_metrics}
             self._maybe_update_best(eval_metrics)
             self._flush_step_log(epoch)
+            self._log(dict({"epoch": epoch, "train/loss": train_loss},
+                           **{f"eval/{k}": v for k, v in eval_metrics.items()}),
+                      self._global_step)
             if verbose:
                 print(f"epoch {epoch}: loss={train_loss:.6f} {eval_metrics}")
             if self.config.save_dir:
                 self.save(epoch)
                 if self.config.save_examples:
-                    self.save_examples(epoch)
+                    ex_dir = self.save_examples(epoch)
+                    if ex_dir:
+                        self._log({"examples_dir": ex_dir}, self._global_step)
         return self.metrics_log
 
     def _eval_loss(self, metrics: dict) -> float:

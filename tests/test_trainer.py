@@ -225,6 +225,44 @@ def test_trainer_step_log_and_examples(tmp_path):
     assert os.path.exists(tmp_path / "run" / "epoch2" / "lensed_0.png")
 
 
+def test_trainer_logger_hooks(tmp_path):
+    """Logger protocol (reference wandb stream, utils.py:729-733): every
+    registered (data, step) callable receives per-step losses and
+    per-epoch eval metrics; CSVLogger materializes them; a raising
+    logger must not break training."""
+    from lenslesspicam_tpu.train.loggers import CSVLogger
+
+    psf, batches = _setup(n_batches=2)
+    model = TrainableRecon(camera_inversion=UnrolledADMM(n_iter=2))
+    cfg = TrainerConfig(epochs=2, lr=1e-3)
+    seen = []
+    csv = CSVLogger(str(tmp_path / "log.csv"))
+
+    def bad_logger(data, step):
+        raise RuntimeError("boom")
+
+    trainer = Trainer(model, psf, lambda: iter(batches), batches[:1], cfg,
+                      loggers=[lambda d, s: seen.append((s, d)), csv,
+                               bad_logger])
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        trainer.train(verbose=False)
+
+    step_records = [d for _, d in seen if "train/loss_step" in d]
+    epoch_records = [d for _, d in seen if "train/loss" in d]
+    assert len(step_records) == 2 * 2          # epochs * batches
+    assert len(epoch_records) == 2
+    assert any("eval/PSNR" in d for _, d in seen)
+    # epoch-0 eval logged before training starts
+    assert seen[0][0] == 0 and "eval/PSNR" in seen[0][1]
+
+    text = (tmp_path / "log.csv").read_text().splitlines()
+    assert text[0].startswith("step")
+    assert "train/loss_step" in text[0] and "eval/PSNR" in text[0]
+    assert len(text) == 1 + len(seen)
+
+
 def test_measure_gradient():
     from lenslesspicam_tpu.train.trainer import gradient_norms, measure_gradient
 
