@@ -112,11 +112,15 @@ def verify_split(jax):
         ref = np.asarray(admm.run_jit(conv, jnp.asarray(
             data2d[None, None, :, :, None]), n_iter=10))[0, 0, :, :, 0]
     backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
+    sat_seen = []  # carry-saturation fractions from every rfused gate run
 
     def run_backend(bk, psf, dat, n):
         if bk == "rfused":
             p = admm_split.precompute_rsplit(psf, dat)
-            return np.asarray(admm_split.run_rsplit_jit(p, n_iter=n))
+            out, sat = admm_split.run_rsplit_jit(p, n_iter=n,
+                                                 return_sat=True)
+            sat_seen.append(float(sat))
+            return np.asarray(out)
         p = admm_split.precompute_split(psf, dat)
         return np.asarray(admm_split.run_split_jit(p, n_iter=n, backend=bk))
 
@@ -156,6 +160,14 @@ def verify_split(jax):
                + 0.7 * np.exp(-((yy - 70) ** 2 + (xx - 90) ** 2) / 400.0)
                + 0.15 * np.sin(xx / 3.0) * np.sin(yy / 4.0) + 0.15
                ).astype(np.float32)
+    # high-dynamic-range gate scene (VERDICT r3 #3): isolated sources
+    # 100x over a dim textured background — sharp structure drives the
+    # TV/data duals much harder than the smooth scenes, stressing the
+    # int16 carry scales; the saturation channel must stay < 1
+    scene_h = (0.01 + 0.005 * np.sin(xx / 5.0) * np.sin(yy / 6.0)
+               ).astype(np.float32)
+    for (cy, cx) in ((15, 20), (48, 95), (80, 40)):
+        scene_h[cy:cy + 2, cx:cx + 2] = 1.0
     psf_q = np.zeros((h, w), np.float32)
     qys, qxs = rng.randint(0, h, 200), rng.randint(0, w, 200)
     psf_q[qys, qxs] = rng.rand(200)
@@ -182,7 +194,8 @@ def verify_split(jax):
             sn = scene / scene.max()
             return -10 * np.log10(np.mean((xn - sn) ** 2) + 1e-12)
 
-        for name, scene in (("rects", scene_a), ("blobs", scene_b)):
+        for name, scene in (("rects", scene_a), ("blobs", scene_b),
+                            ("hdr", scene_h)):
             meas = simulate(scene)
             for n in (5, 100, 300):
                 ref_q = exact_recon(meas, n)
@@ -214,9 +227,11 @@ def verify_split(jax):
             try:
                 pre_g, info_g = asp.precompute_rsplit_general(
                     psf_rgb, meas_rgb[None, None])
-                out_rgb = np.asarray(asp.run_rsplit_general(
+                out_rgb, sat_rgb = asp.run_rsplit_general(
                     pre_g, info_g, meas_rgb[None, None],
-                    n_iter=100))[0, 0]
+                    n_iter=100, return_sat=True)
+                out_rgb = np.asarray(out_rgb)[0, 0]
+                sat_seen.append(float(sat_rgb))
                 for c in range(3):
                     p_ref = psnr_of(ref_rgb[:, :, c], scene_rgb[:, :, c])
                     p_out = psnr_of(out_rgb[:, :, c], scene_rgb[:, :, c])
@@ -229,6 +244,18 @@ def verify_split(jax):
                     raise
                 print(f"RGB gate skipped (general backend: {e})",
                       file=sys.stderr)
+
+        # carry-saturation gate (VERDICT r3 #3): the in-kernel channel
+        # reports max pre-quantization |carry| / full-scale across every
+        # gated run above (incl. the HDR scene at n=300); >= 1.0 means
+        # an int16 carry clipped somewhere — fail loudly instead of
+        # shipping silently-corrupted state
+        if sat_seen:
+            max_sat = max(sat_seen)
+            assert max_sat < 1.0, (
+                f"carry saturation gate failed: max fraction {max_sat:.3f}")
+            print(f"carry saturation gate ok (max {max_sat:.3f} of full "
+                  f"scale over {len(sat_seen)} gated runs)", file=sys.stderr)
 
 
 def _timed(fn, base_iter, n_iter, repeats=3):

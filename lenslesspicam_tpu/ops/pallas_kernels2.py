@@ -146,19 +146,30 @@ _CARRY_TV_DTYPE = {"i16": jnp.int16, "bf16": jnp.bfloat16}.get(
 
 # The v carry (v = mu1*X - xi).  |v| is mu1-SCALED: mu1*X <= mu1 for
 # max-normalized measurements and xi accumulates mu1-sized steps, so
-# the observed 300-iteration max is ~14*mu1 on the bench scenes
-# (scripts/dev/_probe_vquant.py).  int16 fixed point at 64*mu1 full
-# scale (4.7x headroom, resolution 2e-3*mu1) costs <= 0.04 dB at
-# n_iter=300 — unlike bf16 (-2.4 dB: only 8 mantissa bits against an
-# accumulating random walk).  Opt-in (LPT_CARRY_V=i16), bench-gated.
+# the observed 300-iteration max is ~14*mu1 on the smooth bench scenes
+# (scripts/dev/_probe_vquant.py) and ~58*mu1 on the high-dynamic-range
+# gate scene (sharp sources drive the data dual much harder — measured
+# via the in-kernel saturation channel, round 4).  int16 fixed point at
+# 256*mu1 full scale (~2x headroom over the worst gated scene, whose
+# max fraction is 0.53; resolution 7.8e-3*mu1, ~12.5 effective bits
+# for the typical 14-85*mu1 signal)
+# costs <= 0.06 dB at n_iter=300 — unlike bf16 (-2.4 dB: only 8
+# mantissa bits against an accumulating random walk).  The scale is NOT
+# a guarantee for arbitrary data (duals are unbounded in general):
+# every store is monitored by the saturation channel below, and
+# bench.py fails its gates if any carry ever reaches full scale.
+# Opt-in (LPT_CARRY_V=i16), bench-gated; LPT_V_SCALE overrides the
+# full-scale multiple.
 _CARRY_V = _os.environ.get("LPT_CARRY_V", "").lower()
 _CARRY_V_DTYPE = {"i16": jnp.int16, "bf16": jnp.bfloat16}.get(
     _CARRY_V, _CARRY_DTYPE)
 
+_V_SCALE_MULT = float(_os.environ.get("LPT_V_SCALE", "256"))
+
 
 def _v_scale(mu1):
     """Fixed-point full scale for the int16 v carry (see above)."""
-    return 64.0 * mu1
+    return _V_SCALE_MULT * mu1
 
 
 def encode_v(x, mu1):
@@ -209,6 +220,55 @@ def _store_carry(ref, x, scale):
                            ).astype(jnp.int16)
     else:
         ref[:] = x.astype(ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Carry-saturation monitoring (safety for the fixed-point carries).
+#
+# The int16 full scales (_v_scale, _tv_scales) are derived from the ADMM
+# parameters under assumptions (max-normalized measurements, KKT bounds,
+# observed dual-accumulation headroom).  A scene outside those
+# assumptions would CLIP the carry silently.  The v3 state kernels
+# therefore emit a per-call saturation channel: the max |carry| seen at
+# STORE time (pre-quantization, f32) normalized by its full scale, max-
+# accumulated across grid steps into a tiny (8, 128) block that stays
+# VMEM-resident (constant index map).  A value >= 1.0 means at least one
+# element clipped; the solver surfaces the running max so bench gates
+# can assert sat < 1 on every quality-gated run (VERDICT r3 #3).
+# Overhead: one VPU max-reduce over data already in registers + a
+# 4 KB write per grid step — unmeasurable against the matmul cores.
+# ---------------------------------------------------------------------------
+
+_SAT_BLOCK = (8, 128)
+
+
+def _sat_spec():
+    return pl.BlockSpec(_SAT_BLOCK, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _sat_shape():
+    return jax.ShapeDtypeStruct(_SAT_BLOCK, jnp.float32)
+
+
+def _sat_update(sat_ref, frac):
+    """Init-on-first-step + max-accumulate into the resident block."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        sat_ref[:] = jnp.zeros(_SAT_BLOCK, jnp.float32)
+
+    sat_ref[:] = jnp.maximum(sat_ref[:], frac)
+
+
+def carry_sat_fraction(x, scale):
+    """XLA-side saturation fraction of a STORED carry plane (fallback
+    paths without the in-kernel channel).  For int16 this can only
+    report up to 1.0 (post-clip); the in-kernel channel sees the
+    pre-quantization value and reports true overshoot."""
+    if x.dtype == jnp.int16:
+        return jnp.max(jnp.abs(x.astype(jnp.float32))) / 32767.0
+    return jnp.max(jnp.abs(x.astype(jnp.float32))) / scale
 
 
 _BATCHED_DG = _os.environ.get("LPT_INV_BATCHED_DG", "1") != "0"
@@ -1713,7 +1773,7 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     forward W transform of v' — fwd never leaves the kernel."""
     imats = tuple(r[:] for r in refs[:_N_RMATS])
     fmats = tuple(r[:] for r in refs[_N_RMATS:2 * _N_RMATS])
-    (img_ref, vo_ref, vwr_ref, vwi_ref) = refs[2 * _N_RMATS:]
+    (img_ref, vo_ref, vwr_ref, vwi_ref, sat_ref) = refs[2 * _N_RMATS:]
     f32 = jnp.float32
     br, mh = a0r_ref.shape
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (br, mh), 1) == 0
@@ -1736,6 +1796,7 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
     v = mu1 * X - xi
     _store_carry(vo_ref, v, _v_scale(mu1))
+    _sat_update(sat_ref, jnp.max(jnp.abs(v)) * (1.0 / _v_scale(mu1)))
     zr, zi = _w_rfwd_core(v, n1, n2, fmats)
     vwr_ref[:] = zr.astype(vwr_ref.dtype)
     vwi_ref[:] = zi.astype(vwi_ref.dtype)
@@ -1744,7 +1805,9 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
 def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
                        v, mask, dp, mu1, block_rows=None):
     """v3 post-transform step (see _w_rinv_dual_state_kernel).  Returns
-    (image, v', v'_wr, v'_wi)."""
+    (image, v', v'_wr, v'_wi, sat) — sat is the (8, 128) carry-
+    saturation channel (max pre-quantization |v| / full scale over all
+    grid steps; >= 1.0 means the int16 carry clipped)."""
     m, mh = a0r.shape
     n_full = 2 * mh
     br = block_rows or _e_block_rows_v3(m, n_full, "E2R")
@@ -1766,8 +1829,8 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
         grid=(nb,),
         in_specs=[spec_h] * 4 + [spec_col] * 4 + [spec_c] * 3
                  + _const_specs(imats) + _const_specs(fmats),
-        out_specs=(spec_c, spec_c, spec_h, spec_h),
-        out_shape=(io_sh, cr_v, io_h, io_h),
+        out_specs=(spec_c, spec_c, spec_h, spec_h, _sat_spec()),
+        out_shape=(io_sh, cr_v, io_h, io_h, _sat_shape()),
         interpret=_INTERPRET,
     )(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, v, mask, dp, *imats, *fmats)
 
@@ -1806,7 +1869,7 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
     imgp = last stripe of block i-1, imgn/a0n = first stripe of block
     i+1 (periodic padded grid)."""
     fmats = tuple(r[:] for r in refs[:_N_RMATS])
-    (rkr_ref, rki_ref, a0o_ref, a1o_ref, bo_ref) = refs[_N_RMATS:]
+    (rkr_ref, rki_ref, a0o_ref, a1o_ref, bo_ref, sat_ref) = refs[_N_RMATS:]
     f32 = jnp.float32
     sc_a, sc_b = _tv_scales(mu2, mu3, tau)
     img_c = imgc_ref[:].astype(f32)
@@ -1833,6 +1896,10 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
     _store_carry(bo_ref, b, sc_b)
+    _sat_update(sat_ref, jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(a0[:-1])), jnp.max(jnp.abs(a1)))
+        * (1.0 / sc_a),
+        jnp.max(jnp.abs(b)) * (1.0 / sc_b)))
     rk = b + adj0 + adj1
 
     zr, zi = _w_rfwd_core(rk, n1, n2, fmats)
@@ -1842,7 +1909,9 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
 
 def e1_rtv(image, a0, a1, b, mu2, mu3, tau, block_rows=None):
     """v3 pre-transform step (see _e1rtv_kernel).  Returns
-    (rk_wr, rk_wi, a0', a1', b')."""
+    (rk_wr, rk_wi, a0', a1', b', sat) — sat is the (8, 128) TV-carry
+    saturation channel (max pre-quantization |carry| / its full scale;
+    >= 1.0 means an int16 TV carry clipped)."""
     m, n_full = image.shape
     mh = n_full // 2
     br = block_rows or _e_block_rows_v3(m, n_full, "E1R")
@@ -1869,8 +1938,8 @@ def e1_rtv(image, a0, a1, b, mu2, mu3, tau, block_rows=None):
         in_specs=[spec_c, spec_sp, spec_sn,
                   spec_c, spec_sn, spec_c, spec_c]
                  + _const_specs(fmats),
-        out_specs=(spec_h, spec_h, spec_c, spec_c, spec_c),
-        out_shape=(io_h, io_h, cr_sh, cr_sh, cr_sh),
+        out_specs=(spec_h, spec_h, spec_c, spec_c, spec_c, _sat_spec()),
+        out_shape=(io_h, io_h, cr_sh, cr_sh, cr_sh, _sat_shape()),
         interpret=_INTERPRET,
     )(image, image, image, a0, a0, a1, b, *fmats)
 

@@ -276,10 +276,18 @@ def precompute_rsplit(psf2d: np.ndarray, data2d: np.ndarray,
 
 
 def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
-                     n_iter: int = 100) -> jax.Array:
+                     n_iter: int = 100, return_sat: bool = False):
     """Fully-fused grayscale ADMM on the half-spectrum backend.  Same
     state algebra as run_split (reference ordering
     lensless/recon/admm.py); HBM traffic of every spectrum pass halves.
+
+    return_sat: also return the carry-saturation scalar — the running
+    max of |carry| / full-scale over ALL iterations and all quantized
+    carry planes ({v} and {a0, a1, b}).  >= 1.0 means an int16 carry
+    clipped and the result cannot be trusted; bench.py asserts < 1 on
+    every quality-gated run (the scales are parameter-derived bounds,
+    not guarantees — this channel turns a silent clip into a detected
+    failure).
 
     Two kernel placements (LPT_RFUSED_V3, default on):
 
@@ -343,24 +351,27 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
             vwr0, vwi0 = pk2.rfft_w(v_init.astype(io))
         state = dict(image=zeros_io, a0=zeros_tv, a1=zeros_tv, b=zeros_tv,
                      v=pk2.encode_v(v_init, mu1),
-                     vwr=vwr0, vwi=vwi0)
+                     vwr=vwr0, vwi=vwi0, sat=jnp.zeros((), f32))
 
         def body(_, s):
-            (rkr, rki, a0n, a1n, bn) = pk2.e1_rtv(
+            (rkr, rki, a0n, a1n, bn, sat_tv) = pk2.e1_rtv(
                 s["image"], s["a0"], s["a1"], s["b"], mu2, mu3, tau)
             i0, iM, f0, fM = dc_patch(rkr, rki, s["vwr"], s["vwi"])
             (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
                 rkr, rki, s["vwr"], s["vwi"], Hr_c, Hi_c, R_c, ph)
-            (imgn, vn, vwrn, vwin) = pk2.irfft_w_dual_state(
+            (imgn, vn, vwrn, vwin, sat_v) = pk2.irfft_w_dual_state(
                 a0r, a0i, a1r, a1i,
                 zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
                 zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
                 s["v"], mask_c, dp_c, mu1)
+            sat = jnp.maximum(s["sat"], jnp.maximum(jnp.max(sat_tv),
+                                                    jnp.max(sat_v)))
             return dict(image=imgn, a0=a0n, a1=a1n, b=bn,
-                        v=vn, vwr=vwrn, vwi=vwin)
+                        v=vn, vwr=vwrn, vwi=vwin, sat=sat)
     else:
         state = dict(image=zeros_io, fwd=zeros_io, v=zeros_v, b=zeros_tv,
-                     a0=zeros_tv, a1=zeros_tv)
+                     a0=zeros_tv, a1=zeros_tv, sat=jnp.zeros((), f32))
+        sc_a, sc_b = pk2._tv_scales(mu2, mu3, tau)
 
         def body(_, s):
             (rkr, rki, vr_, vi_, vn, a0n, a1n, bn) = pk2.e1_rcarry(
@@ -373,32 +384,44 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                 a0r, a0i, a1r, a1i,
                 zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
                 zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM))
-            return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n)
+            # v2 has no in-kernel channel; the STORED carries bound the
+            # fraction at 1.0 (post-clip) — still a detection
+            sat = s["sat"]
+            for plane, sc in ((vn, pk2._v_scale(mu1)), (a0n, sc_a),
+                              (a1n, sc_a), (bn, sc_b)):
+                if plane.dtype == jnp.int16:
+                    sat = jnp.maximum(sat, pk2.carry_sat_fraction(plane, sc))
+            return dict(image=imgn, fwd=fwdn, v=vn, b=bn, a0=a0n, a1=a1n,
+                        sat=sat)
 
     with pk2.forced_interpret(needs_interp):
         state = jax.lax.fori_loop(0, n_iter, body, state)
     img = pf.from_split_layout(state["image"].astype(f32))
     sy, sx = pre.start
     nh, nw = pre.psf_shape
-    return jnp.maximum(img[sy : sy + nh, sx : sx + nw], 0.0)
+    out = jnp.maximum(img[sy : sy + nh, sx : sx + nw], 0.0)
+    if return_sat:
+        return out, state["sat"]
+    return out
 
 
 @partial(jax.jit, static_argnames=("psf_shape", "padded_shape", "start",
-                                   "params"))
+                                   "params", "return_sat"))
 def _run_rsplit_jit(Hr, Hi, R, mask, data_pad, H0r, H0i, HMr, HMi,
-                    R0, RM, psf_shape, padded_shape, start, params, n_iter):
+                    R0, RM, psf_shape, padded_shape, start, params, n_iter,
+                    return_sat=False):
     pre = RSplitPrecomp(Hr, Hi, R, mask, data_pad, H0r, H0i, HMr, HMi,
                         R0, RM, psf_shape, padded_shape, start)
-    return run_split_rfused(pre, params, n_iter)
+    return run_split_rfused(pre, params, n_iter, return_sat=return_sat)
 
 
 def run_rsplit_jit(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
-                   n_iter=100):
+                   n_iter=100, return_sat=False):
     """jit entry for the half-spectrum fused backend."""
     return _run_rsplit_jit(pre.Hr, pre.Hi, pre.R, pre.mask, pre.data_pad,
                            pre.H0r, pre.H0i, pre.HMr, pre.HMi, pre.R0, pre.RM,
                            pre.psf_shape, pre.padded_shape, pre.start, params,
-                           jnp.asarray(n_iter))
+                           jnp.asarray(n_iter), return_sat)
 
 
 def _to_split_jax(x2d):
@@ -440,7 +463,7 @@ def precompute_rsplit_general(psf, data, params: ADMMParams = ADMMParams()):
 
 def run_rsplit_general(pre_planes: RSplitPrecomp, info: dict, data,
                        params: ADMMParams = ADMMParams(),
-                       n_iter: int = 100) -> jax.Array:
+                       n_iter: int = 100, return_sat: bool = False):
     """Batched RGB/3-D ADMM on the half-spectrum fused backend;
     returns (B, D, H, W, C).
 
@@ -467,7 +490,7 @@ def run_rsplit_general(pre_planes: RSplitPrecomp, info: dict, data,
                             H0r, H0i, HMr, HMi, R0, RM,
                             pre_planes.psf_shape, pre_planes.padded_shape,
                             pre_planes.start)
-        return run_split_rfused(pre, params, n_iter)
+        return run_split_rfused(pre, params, n_iter, return_sat=return_sat)
 
     consts = (pre_planes.Hr, pre_planes.Hi, pre_planes.R,
               pre_planes.mask, pre_planes.H0r, pre_planes.H0i,
@@ -476,8 +499,12 @@ def run_rsplit_general(pre_planes: RSplitPrecomp, info: dict, data,
     # (constants broadcast — no HBM duplication of the spectra)
     per_plane = jax.vmap(one_plane, in_axes=(0, 0))
     out = jax.vmap(lambda pb: per_plane(consts, pb))(planes)  # (B, P, H, W)
+    if return_sat:
+        out, sats = out
+        sat = jnp.max(sats)
     nh, nw = pre_planes.psf_shape
-    return out.reshape(batch, depth, ch, nh, nw).transpose(0, 1, 3, 4, 2)
+    out = out.reshape(batch, depth, ch, nh, nw).transpose(0, 1, 3, 4, 2)
+    return (out, sat) if return_sat else out
 
 
 def run_split(pre: SplitPrecomp, params: ADMMParams = ADMMParams(),

@@ -49,7 +49,7 @@ def timed(fn, args, label, base=2, full=52, reps=3):
 def loop_e1(image, a0, a1, b, n):
     def body(_, s):
         img, aa0, aa1, bb = s
-        rkr, rki, a0n, a1n, bn = pk2.e1_rtv(img, aa0, aa1, bb,
+        rkr, rki, a0n, a1n, bn, _sat = pk2.e1_rtv(img, aa0, aa1, bb,
                                             p.mu2, p.mu3, p.tau)
         eps = (rkr[0, 0]).astype(io) * 0
         return (img + eps, a0n, a1n, bn)
@@ -73,7 +73,7 @@ def loop_hcd(rkr, rki, vr_, vi_, n):
 def loop_invs(a0r, a0i, a1r, a1i, pc, v, n):
     def body(_, s):
         a, b_, c, d, vv = s
-        img, vn, vwr, vwi = pk2.irfft_w_dual_state(
+        img, vn, vwr, vwi, _sat = pk2.irfft_w_dual_state(
             a, b_, c, d, pc, pc, pc, pc, vv, mask_c, dp_c, p.mu1)
         eps = (img[0, 0] + vwr[0, 0]).astype(io) * 0
         return (a + eps, b_, c, d, vn)

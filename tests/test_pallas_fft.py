@@ -214,6 +214,56 @@ def test_admm_rfused_v3_matches_v2_placement(monkeypatch):
         pk2._set_interpret(False)
 
 
+def test_admm_rfused_carry_saturation_channel(monkeypatch):
+    """int16 carry safety (VERDICT r3 #3): the sat channel reports the
+    max pre-quantization |carry| / full-scale.  On a max-normalized
+    scene it stays well below 1 and the solver matches the exact one;
+    on out-of-contract data (100x the assumed range) it flags >= 1 —
+    the silent-clip scenario is now DETECTED."""
+    import jax
+    from lenslesspicam_tpu.ops import pallas_kernels2 as pk2
+    from lenslesspicam_tpu.recon import admm, admm_split
+    from lenslesspicam_tpu.recon.admm import ADMMParams
+
+    pk2._set_interpret(True)
+    monkeypatch.setattr(pk2, "_CARRY_V_DTYPE", jnp.int16)
+    monkeypatch.setattr(pk2, "_CARRY_TV_DTYPE", jnp.int16)
+    try:
+        rng = np.random.RandomState(11)
+        psf2d = rng.rand(40, 56).astype(np.float32)
+        psf2d /= np.linalg.norm(psf2d)
+        data2d = rng.rand(40, 56).astype(np.float32)
+        data2d /= data2d.max()      # the assumed max-normalized contract
+
+        pre = admm_split.precompute_rsplit(psf2d, data2d)
+        out, sat = admm_split.run_split_rfused(pre, ADMMParams(), 20,
+                                               return_sat=True)
+        sat = float(sat)
+        assert 0.0 < sat < 1.0, f"in-contract scene saturates: {sat}"
+
+        conv = admm.make_convolver(psf2d[None, :, :, None])
+        ref = np.asarray(admm.run_jit(
+            conv, jnp.asarray(data2d[None, None, :, :, None]),
+            n_iter=20))[0, 0, :, :, 0]
+        scale = max(np.abs(ref).max(), 1e-9)
+        assert np.abs(np.asarray(out) - ref).max() / scale < 0.05
+
+        # out-of-contract: 100x data blows past the mu1-derived v scale
+        pre_hot = admm_split.precompute_rsplit(psf2d, 100.0 * data2d)
+        _, sat_hot = admm_split.run_split_rfused(pre_hot, ADMMParams(), 20,
+                                                 return_sat=True)
+        assert float(sat_hot) >= 1.0, (
+            f"clipping not detected: {float(sat_hot)}")
+
+        # v2 placement carries the (post-clip) detection too
+        monkeypatch.setenv("LPT_RFUSED_V3", "0")
+        _, sat_v2 = admm_split.run_split_rfused(pre_hot, ADMMParams(), 20,
+                                                return_sat=True)
+        assert float(sat_v2) >= 0.999
+    finally:
+        pk2._set_interpret(False)
+
+
 def test_admm_split_general_batched_rgb_3d():
     """Batched RGB multi-depth split solver == standard solver."""
     import jax
