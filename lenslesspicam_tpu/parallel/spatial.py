@@ -26,6 +26,7 @@ an 8-device mesh.
 from __future__ import annotations
 
 import functools
+import re
 
 import jax
 import jax.numpy as jnp
@@ -650,14 +651,18 @@ def ici_traffic_model(ph: int, pw: int, n_shards: int, nplanes: int = 1,
     """Modeled per-iteration ICI traffic of the half-spectrum pencil
     solver at a padded grid: 2 stacked all_to_alls of 4 half-width
     planes each (each device sends (n-1)/n of its shard), one (Ph,)
-    all_gather x 4 columns, and 4 one-row ppermutes.  Returned dict is
-    what ``__graft_entry__.dryrun_multichip`` records."""
+    all_gather x 4 columns, and 2 one-row ppermutes (the image halo for
+    the row-axis TV forward diff and the a0 halo for its adjoint; the
+    compiled HLO confirms exactly 2 collective-permutes per iteration —
+    see :func:`hlo_collective_bytes_per_iter`).  Returned dict is what
+    ``__graft_entry__.dryrun_multichip`` records; the dryrun also
+    audits it against the compiled program's actual collective bytes."""
     mh = pw // 2
     frac = (n_shards - 1) / n_shards
     a2a_bytes = 2 * (4 * batch * nplanes * (ph // n_shards) * mh
                      * bytes_per_el) * frac
     gather_bytes = 4 * batch * nplanes * ph * bytes_per_el * frac
-    halo_bytes = 4 * batch * nplanes * pw * bytes_per_el
+    halo_bytes = 2 * batch * nplanes * pw * bytes_per_el
     full_width_a2a = 2 * a2a_bytes  # the full-width pencil path's cost
     return {
         "a2a_bytes_per_iter": a2a_bytes,
@@ -665,6 +670,94 @@ def ici_traffic_model(ph: int, pw: int, n_shards: int, nplanes: int = 1,
         "halo_bytes_per_iter": halo_bytes,
         "total_ici_bytes_per_iter": a2a_bytes + gather_bytes + halo_bytes,
         "vs_full_width_a2a_bytes": full_width_a2a,
+    }
+
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "s16": 2, "u16": 2, "c64": 8, "c128": 16,
+                "pred": 1, "s8": 1, "u8": 1}
+
+_SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|c64|c128|s32|u32|s16|u16|s8|u8|"
+                       r"pred)\[([0-9,]*)\]")
+
+
+def _shape_bytes(m) -> int:
+    dt, dims = m.group(1), m.group(2)
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dt]
+
+
+def hlo_collective_bytes_per_iter(mesh: Mesh, ph: int, pw: int,
+                                  nplanes: int = 1, batch: int = 1,
+                                  n_iter: int = 50) -> dict:
+    """Audit the ICI model against the COMPILED program: lower + compile
+    the rpallas shard_map'd loop and parse the per-iteration collective
+    bytes out of the HLO (the loop body appears once in the while loop,
+    so module-wide op counts ARE per-iteration counts; ``n_iter`` is set
+    large enough that XLA never unrolls the loop).
+
+    Byte conventions match :func:`ici_traffic_model` (per-device
+    off-chip bytes): all-to-all counts (n-1)/n of the participating
+    local bytes, all-gather counts the received (n-1)/n of its full
+    output, collective-permute counts its full payload."""
+    from ..ops import pallas_kernels2 as pk2
+    from ..recon.admm import ADMMParams
+
+    n = mesh.shape[AXIS]
+    mh = pw // 2
+    run = _build_rpallas_run(mesh, ph, pw, ADMMParams(), n_iter=n_iter)
+    st = jax.ShapeDtypeStruct
+    shapes = (
+        st((nplanes, ph, mh), np.float32),
+        st((nplanes, ph, mh), np.float32),
+        st((nplanes, ph, mh), np.float32),
+        st((nplanes, ph, pw), np.float32),
+        st((batch, nplanes, ph, pw), np.float32),
+    ) + (st((nplanes, ph), np.float32),) * 6
+    interpret = jax.devices()[0].platform != "tpu"
+    with pk2.forced_interpret(interpret):
+        txt = jax.jit(run).lower(*shapes).compile().as_text()
+
+    frac = (n - 1) / n
+    a2a = gather = permute = 0.0
+    counts = {"all-to-all": 0, "all-gather": 0, "collective-permute": 0}
+    for line in txt.splitlines():
+        s = line.strip()
+        if "=" not in s:
+            continue
+        lhs, _, rhs = s.partition("=")
+        op = rhs.strip()
+        if op.startswith("(") and ") all-to-all(" in op:
+            # tuple form: result tuple elements are the per-participant
+            # chunks; their sum is the local participating bytes
+            tuple_part = op[:op.index(") all-to-all(") + 1]
+            a2a += sum(_shape_bytes(m)
+                       for m in _SHAPE_RE.finditer(tuple_part)) * frac
+            counts["all-to-all"] += 1
+        elif " all-to-all(" in op or op.startswith("all-to-all("):
+            m = _SHAPE_RE.search(op)  # result shape leads the op text
+            if m:
+                a2a += _shape_bytes(m) * frac
+                counts["all-to-all"] += 1
+        elif " all-gather(" in op or op.startswith("all-gather("):
+            m = _SHAPE_RE.search(op)
+            if m:
+                gather += _shape_bytes(m) * frac
+                counts["all-gather"] += 1
+        elif " collective-permute(" in op or op.startswith("collective-permute("):
+            m = _SHAPE_RE.search(op)
+            if m:
+                permute += _shape_bytes(m)
+                counts["collective-permute"] += 1
+    return {
+        "a2a_bytes_per_iter": a2a,
+        "gather_bytes_per_iter": gather,
+        "halo_bytes_per_iter": permute,
+        "total_ici_bytes_per_iter": a2a + gather + permute,
+        "op_counts": counts,
     }
 
 
