@@ -533,6 +533,60 @@ def time_admm_mode(shape, mode, n_iter=150, base_iter=2, repeats=4,
                   repeats)
 
 
+def time_train_step(shape=(270, 480), batch=4, channels=3, n_iter=5,
+                    n_calls=10):
+    """BASELINE config 5: one jitted learned-training step (UNetRes
+    pre + unrolled-ADMM U5 + UNetRes post, the reference's canonical
+    Unet4M+U5+Unet4M family at the DiffuserCam working resolution) on
+    the real chip.  Returns steps/s (full fwd+bwd+optax update).
+
+    The reference's equivalent hot loop is
+    lensless/recon/utils.py:947-1176 (torch autograd per batch)."""
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.models.trainable_recon import TrainableRecon
+    from lenslesspicam_tpu.models.unet import UNetRes
+    from lenslesspicam_tpu.models.unrolled import UnrolledADMM
+    from lenslesspicam_tpu.train.trainer import Trainer, TrainerConfig
+
+    rng = np.random.RandomState(0)
+    psf = rng.rand(1, *shape, channels).astype(np.float32)
+    psf /= np.linalg.norm(psf)
+    lensless = rng.rand(batch, 1, *shape, channels).astype(np.float32)
+    lensed = rng.rand(batch, 1, *shape, channels).astype(np.float32)
+    batches = [{"lensless": lensless, "lensed": lensed}]
+
+    model = TrainableRecon(
+        camera_inversion=UnrolledADMM(n_iter=n_iter, remat=True),
+        pre_process=UNetRes(out_nc=channels, nc=(32, 64, 112, 128), nb=4),
+        post_process=UNetRes(out_nc=channels, nc=(32, 64, 116, 128), nb=4),
+    )
+    trainer = Trainer(model, psf, lambda: iter(batches), batches,
+                      TrainerConfig(epochs=1, lr=1e-4))
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   __import__("jax").tree_util.tree_leaves(
+                       trainer.variables["params"]))
+    print(f"train-step model: {n_params / 1e6:.1f}M params, "
+          f"batch {batch} x {shape[0]}x{shape[1]}x{channels}, U{n_iter}",
+          file=sys.stderr)
+
+    stats = trainer.variables.get("batch_stats")
+    args = (trainer.variables["params"], trainer.opt_state, stats,
+            jnp.asarray(lensless), jnp.asarray(psf), jnp.asarray(lensed),
+            None, None, None)
+    out = trainer._train_step(*args)
+    loss0 = float(out[3])   # d2h fetch = execution barrier (compile+run)
+    assert np.isfinite(loss0), "non-finite warmup loss"
+
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = trainer._train_step(*args)
+        loss = float(out[3])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return n_calls / dt
+
+
 def run_mode(mode: str, shape=(3040, 4056)):
     """Measure an RGB or batch=4 rung and print its JSON line."""
     # vmapped pallas kernels gain a leading grid dimension whose
@@ -595,6 +649,18 @@ def main():
         run_rung(int(sys.argv[2]))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--mode":
+        if sys.argv[2] == "train":
+            # BASELINE config 5: learned-training step rate on-chip
+            jax = _setup_jax()
+            print(f"device: {jax.devices()[0]}", file=sys.stderr)
+            val = time_train_step()
+            print(json.dumps({
+                "metric": "train steps/s (Unet+U5+Unet, 270x480 RGB, b=4)",
+                "value": round(val, 3),
+                "unit": "step/s",
+                "vs_baseline": None,
+            }))
+            return
         # secondary rungs (RGB / batch=4) — not the driver's headline
         shape = RUNGS[int(sys.argv[3])][0] if len(sys.argv) > 3 else RUNGS[0][0]
         run_mode(sys.argv[2], shape)
