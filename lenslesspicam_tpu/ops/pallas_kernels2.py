@@ -95,8 +95,10 @@ def forced_interpret(flag: bool):
 
 def _mats(n, inverse):
     F1r, F1i, F2r, F2i, Tr, Ti, scale, n1, n2 = _plan(n, inverse)
-    return (jnp.asarray(F1r), jnp.asarray(F1i), jnp.asarray(F2r),
-            jnp.asarray(F2i), jnp.asarray(Tr), jnp.asarray(Ti),
+    mm = _mat_dtype()
+    return (jnp.asarray(F1r, mm), jnp.asarray(F1i, mm),
+            jnp.asarray(F2r, mm), jnp.asarray(F2i, mm),
+            jnp.asarray(Tr), jnp.asarray(Ti),
             float(scale), n1, n2)
 
 
@@ -108,6 +110,21 @@ import os as _os
 _PREC = (jax.lax.Precision.DEFAULT
          if _os.environ.get("LPT_PALLAS_PRECISION", "").lower() == "default"
          else jax.lax.Precision.HIGHEST)
+
+
+def _mat_dtype():
+    """Storage dtype of the MATMUL stage matrices (F1/F2 stacks).  At
+    Precision.DEFAULT the MXU truncates f32 operands to bf16 anyway, so
+    storing the constant matrices in bf16 is numerically identical and
+    roughly halves their scoped-VMEM footprint (~2.2 MB per rplan stack
+    at 12MP) — headroom for bigger row blocks.  Opt-in via
+    LPT_MATS_BF16=1; ignored (f32) under Precision.HIGHEST where it
+    WOULD change numerics.  Twiddle/unpack fields stay f32 (elementwise
+    VPU math never truncates)."""
+    if (_os.environ.get("LPT_MATS_BF16", "") == "1"
+            and _PREC == jax.lax.Precision.DEFAULT):
+        return jnp.bfloat16
+    return jnp.float32
 
 # Inter-kernel spectrum storage dtype.  LPT_SPLIT_IO=bf16 stores the
 # split-order spectra handed between kernels in bfloat16, halving the
@@ -1306,7 +1323,15 @@ def _rplan_mats(n_full, inverse):
     )
     mats = mats + stacked
     assert len(mats) == _N_RMATS
-    return tuple(jnp.asarray(a) for a in mats), float(scale), n1, n2
+    # matmul-operand indices ride the (optional) bf16 storage; twiddle/
+    # unpack/mask fields are elementwise VPU operands and stay f32
+    matmul_idx = frozenset(
+        {0, 1, 2, 3, 6, 12, 13, 14, 15, 20, 21, 22, 23, 24, 25}
+        | set(range(30, 44)))
+    mm = _mat_dtype()
+    return (tuple(jnp.asarray(a, mm if i in matmul_idx else None)
+                  for i, a in enumerate(mats)),
+            float(scale), n1, n2)
 
 
 def _w_rfwd_core(x2d, n1, n2, mats):
