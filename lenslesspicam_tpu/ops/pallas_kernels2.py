@@ -944,7 +944,15 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
                              h, False)
         ya_r, ya_i = h_passA(vr.reshape(n1, n2, w), vi.reshape(n1, n2, w),
                              h, False)
-    bw = w if w % 128 else min(int(_os.environ.get("LPT_PALLAS_BW", "128")), w)
+    # the combine core's matmuls are kb-BATCHED (one per row block) —
+    # trading kb for a wider lane block keeps VMEM constant while
+    # folding row blocks into the matmul free dim (fewer, larger MXU
+    # issues; the pipeline is issue-latency-bound at 12MP).
+    # LPT_COMBINE_BW decouples this kernel's width from the pass-A
+    # kernels (whose (n1, bj, bw) blocks explode at large bw).
+    bw = w if w % 128 else min(
+        int(_os.environ.get("LPT_COMBINE_BW")
+            or _os.environ.get("LPT_PALLAS_BW", "128")), w)
     kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
