@@ -117,11 +117,11 @@ def _mat_dtype():
     Precision.DEFAULT the MXU truncates f32 operands to bf16 anyway, so
     storing the constant matrices in bf16 is numerically identical and
     roughly halves their scoped-VMEM footprint (~2.2 MB per rplan stack
-    at 12MP) — headroom for bigger row blocks.  Opt-in via
-    LPT_MATS_BF16=1; ignored (f32) under Precision.HIGHEST where it
-    WOULD change numerics.  Twiddle/unpack fields stay f32 (elementwise
-    VPU math never truncates)."""
-    if (_os.environ.get("LPT_MATS_BF16", "") == "1"
+    at 12MP) — headroom for bigger row blocks.  Default ON at DEFAULT
+    precision (LPT_MATS_BF16=0 disables); always f32 under
+    Precision.HIGHEST where it WOULD change numerics.  Twiddle/unpack
+    fields stay f32 (elementwise VPU math never truncates)."""
+    if (_os.environ.get("LPT_MATS_BF16", "1") == "1"
             and _PREC == jax.lax.Precision.DEFAULT):
         return jnp.bfloat16
     return jnp.float32
@@ -231,12 +231,16 @@ def _load_carry(x, scale):
 
 
 def _store_carry(ref, x, scale):
+    """Quantize + store a carry plane; returns the STORED value (int16
+    path) so callers can run cheap post-clip saturation detection on the
+    2-byte data instead of the f32 pre-image."""
     if ref.dtype == jnp.int16:
         s = 32767.0 / scale
-        ref[:] = jnp.round(jnp.clip(x * s, -32767.0, 32767.0)
-                           ).astype(jnp.int16)
-    else:
-        ref[:] = x.astype(ref.dtype)
+        q = jnp.round(jnp.clip(x * s, -32767.0, 32767.0)).astype(jnp.int16)
+        ref[:] = q
+        return q
+    ref[:] = x.astype(ref.dtype)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +280,14 @@ def _sat_update(sat_ref, frac):
         sat_ref[:] = jnp.zeros(_SAT_BLOCK, jnp.float32)
 
     sat_ref[:] = jnp.maximum(sat_ref[:], frac)
+
+
+def _sat_zero(sat_ref):
+    """Unquantized carries can't clip: emit a zero channel for free."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        sat_ref[:] = jnp.zeros(_SAT_BLOCK, jnp.float32)
 
 
 def carry_sat_fraction(x, scale):
@@ -1829,7 +1841,12 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
     v = mu1 * X - xi
     _store_carry(vo_ref, v, _v_scale(mu1))
-    _sat_update(sat_ref, jnp.max(jnp.abs(v)) * (1.0 / _v_scale(mu1)))
+    if _CARRY_V_DTYPE == jnp.int16:
+        # pre-quantization headroom: the v scale is parameter-derived,
+        # not analytic — report true overshoot, not just post-clip
+        _sat_update(sat_ref, jnp.max(jnp.abs(v)) * (1.0 / _v_scale(mu1)))
+    else:
+        _sat_zero(sat_ref)
     zr, zi = _w_rfwd_core(v, n1, n2, fmats)
     vwr_ref[:] = zr.astype(vwr_ref.dtype)
     vwi_ref[:] = zi.astype(vwi_ref.dtype)
@@ -1916,23 +1933,32 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
     u0_new = _soft(psi0_ext + eta0_eff / mu2, thr)
     a0 = mu2 * u0_new - eta0_eff
     adj0 = a0[1:] - a0[:-1]
-    _store_carry(a0o_ref, a0[:-1], sc_a)
+    q0 = _store_carry(a0o_ref, a0[:-1], sc_a)
 
     psi1 = _split_roll_p1(img_c, mh) - img_c
     eta1_eff = mu2 * psi1 - _load_carry(a1_ref[:], sc_a)
     u1_new = _soft(psi1 + eta1_eff / mu2, thr)
     a1 = mu2 * u1_new - eta1_eff
     adj1 = _split_roll_m1(a1, mh) - a1
-    _store_carry(a1o_ref, a1, sc_a)
+    q1 = _store_carry(a1o_ref, a1, sc_a)
 
     rho = mu3 * img_c - _load_carry(b_ref[:], sc_b)
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
-    _store_carry(bo_ref, b, sc_b)
-    _sat_update(sat_ref, jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(a0[:-1])), jnp.max(jnp.abs(a1)))
-        * (1.0 / sc_a),
-        jnp.max(jnp.abs(b)) * (1.0 / sc_b)))
+    qb = _store_carry(bo_ref, b, sc_b)
+    if q0 is not None:
+        # post-clip detection on the 2-byte stored values — the TV
+        # carries have analytic KKT headroom (|a| <= tau against an
+        # 8*tau scale), so a cheap "did any element hit full scale"
+        # check suffices; the pre-quant headroom diagnostic lives on
+        # the riskier v carry (dual-state kernel)
+        qmax = jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(q0.astype(jnp.int32))),
+            jnp.max(jnp.abs(q1.astype(jnp.int32)))),
+            jnp.max(jnp.abs(qb.astype(jnp.int32))))
+        _sat_update(sat_ref, qmax.astype(f32) * (1.0 / 32767.0))
+    else:
+        _sat_zero(sat_ref)
     rk = b + adj0 + adj1
 
     zr, zi = _w_rfwd_core(rk, n1, n2, fmats)
