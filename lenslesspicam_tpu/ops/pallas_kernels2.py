@@ -1579,12 +1579,36 @@ def _const_specs(mats):
             for a in mats]
 
 
+def _prune_mats(mats, core, n1=2):
+    """Replace _rplan_mats entries the given core variant never touches
+    with tiny dummies.  Every _const_specs operand occupies a VMEM
+    block whether or not the kernel reads it, and under the KSTACK
+    defaults roughly half of each 44-operand stack is dead (~1 MB/stack
+    at 12MP after bf16 mats) — pruning frees it for bigger row blocks.
+    Positional indexing in the cores is preserved (dummy refs are
+    simply never read)."""
+    if core == "rfwd":
+        # the K-stacked branch also requires n1 > 1 (trace-time check in
+        # _w_rfwd_core); degenerate grids take the plain path
+        used = ({6, 9, 10, 11, 26, 27} | set(range(30, 38))
+                if (_KSTACK and n1 > 1) else
+                {0, 1, 2, 3, 6, 9, 10, 11, 12, 13, 14, 15, 26, 27})
+    else:  # "rinv"
+        used = ({16, 17, 18, 19, 26, 27, 28, 29, 32, 33,
+                 38, 39, 40, 41, 42, 43}
+                if (_KSTACK_INV and _BATCHED_DG) else
+                {0, 1, 2, 3} | set(range(16, 30)))
+    dummy = jnp.zeros((8, 128), jnp.float32)
+    return tuple(m if i in used else dummy for i, m in enumerate(mats))
+
+
 def rfft_w(x, block_rows=None):
     """(m, N) split-layout real rows -> half-spectrum (m, N/2) r/i pair."""
     m_rows, n_full = x.shape
     mh = n_full // 2
     block_rows = block_rows or _w_block_rows(m_rows, n_full)
     mats, scale, n1, n2 = _rplan_mats(n_full, False)
+    mats = _prune_mats(mats, "rfwd", n1)
     in_spec = pl.BlockSpec((block_rows, n_full), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((block_rows, mh), lambda i: (i, 0),
@@ -1605,6 +1629,7 @@ def irfft_w(zr, zi, block_rows=None, out_dtype=jnp.float32):
     n_full = 2 * mh
     block_rows = block_rows or _w_block_rows(m_rows, n_full)
     mats, scale, n1, n2 = _rplan_mats(n_full, True)
+    mats = _prune_mats(mats, "rinv", n1)
     spec_half = pl.BlockSpec((block_rows, mh), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     spec_full = pl.BlockSpec((block_rows, n_full), lambda i: (i, 0),
@@ -1745,6 +1770,7 @@ def e1_rcarry(image, fwd, v, b, a0, a1, mask, dp,
     br = block_rows or _e_block_rows(m, n_full)
     nb = m // br
     mats, scale, n1, n2 = _rplan_mats(n_full, False)
+    mats = _prune_mats(mats, "rfwd", n1)
     spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_p = pl.BlockSpec((br, n_full), lambda i: ((i - 1) % nb, 0),
                           memory_space=pltpu.VMEM)
@@ -1782,6 +1808,7 @@ def irfft_w_dual(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, block_rows=None):
     br = block_rows or _e_block_rows(m, n_full)
     nb = m // br
     mats, scale, n1, n2 = _rplan_mats(n_full, True)
+    mats = _prune_mats(mats, "rinv", n1)
     spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_col = pl.BlockSpec((br, 128), lambda i: (i, 0),
@@ -1864,6 +1891,8 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
     nb = m // br
     imats, scale, n1, n2 = _rplan_mats(n_full, True)
     fmats, _, _, _ = _rplan_mats(n_full, False)
+    imats = _prune_mats(imats, "rinv", n1)
+    fmats = _prune_mats(fmats, "rfwd", n1)
     spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1976,6 +2005,7 @@ def e1_rtv(image, a0, a1, b, mu2, mu3, tau, block_rows=None):
     br = block_rows or _e_block_rows_v3(m, n_full, "E1R")
     nb = m // br
     fmats, scale, n1, n2 = _rplan_mats(n_full, False)
+    fmats = _prune_mats(fmats, "rfwd", n1)
     spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
