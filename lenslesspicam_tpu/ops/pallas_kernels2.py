@@ -211,8 +211,13 @@ def _io_bj_default():
 def _io_kb_default():
     """Default pass-B/combine k-block, io-dtype-aware like
     :func:`_io_bj_default` (the combine-dual kernel holds 11 data
-    blocks; 4-byte io at kb=8 sits against the scoped-VMEM limit)."""
-    return 8 if jnp.dtype(_IO_DTYPE).itemsize == 2 else 4
+    blocks; 4-byte io at kb=8 sits against the scoped-VMEM limit).
+    2-byte io default is 12 (n1=48 at the 12MP grid): the round-4
+    sweep measured 1.85 ms vs 2.14 at kb=8 — the kernel is bound by
+    GRID-STEP count, not matmul width (kb=4/bw=256 with identical
+    VMEM and half the matmul issues timed identically; kb=16 still
+    exceeds scoped VMEM) — and 12 is the largest fitting divisor."""
+    return 12 if jnp.dtype(_IO_DTYPE).itemsize == 2 else 4
 
 
 def _tv_scales(mu2, mu3, tau):
@@ -261,6 +266,11 @@ def _store_carry(ref, x, scale):
 # ---------------------------------------------------------------------------
 
 _SAT_BLOCK = (8, 128)
+
+# LPT_SAT=0 disables the in-kernel saturation computation (the channel
+# still exists but reads 0.0) — for timing bisection only; the bench
+# quality gates REQUIRE the live channel.
+_SAT_ENABLED = _os.environ.get("LPT_SAT", "1") != "0"
 
 
 def _sat_spec():
@@ -1868,10 +1878,11 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
     v = mu1 * X - xi
     _store_carry(vo_ref, v, _v_scale(mu1))
-    if _CARRY_V_DTYPE == jnp.int16:
+    if _CARRY_V_DTYPE == jnp.int16 and _SAT_ENABLED:
         # pre-quantization headroom: the v scale is parameter-derived,
         # not analytic — report true overshoot, not just post-clip
-        _sat_update(sat_ref, jnp.max(jnp.abs(v)) * (1.0 / _v_scale(mu1)))
+        _sat_update(sat_ref, jnp.maximum(jnp.max(v), -jnp.min(v))
+                    * (1.0 / _v_scale(mu1)))
     else:
         _sat_zero(sat_ref)
     zr, zi = _w_rfwd_core(v, n1, n2, fmats)
@@ -1975,16 +1986,17 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
     qb = _store_carry(bo_ref, b, sc_b)
-    if q0 is not None:
+    if q0 is not None and _SAT_ENABLED:
         # post-clip detection on the 2-byte stored values — the TV
         # carries have analytic KKT headroom (|a| <= tau against an
         # 8*tau scale), so a cheap "did any element hit full scale"
         # check suffices; the pre-quant headroom diagnostic lives on
-        # the riskier v carry (dual-state kernel)
-        qmax = jnp.maximum(jnp.maximum(
-            jnp.max(jnp.abs(q0.astype(jnp.int32))),
-            jnp.max(jnp.abs(q1.astype(jnp.int32)))),
-            jnp.max(jnp.abs(qb.astype(jnp.int32))))
+        # the riskier v carry (dual-state kernel).  max/-min on native
+        # int16 avoids abs/widening temporaries.
+        qmax = jnp.maximum(
+            jnp.maximum(jnp.maximum(jnp.max(q0), -jnp.min(q0)),
+                        jnp.maximum(jnp.max(q1), -jnp.min(q1))),
+            jnp.maximum(jnp.max(qb), -jnp.min(qb)))
         _sat_update(sat_ref, qmax.astype(f32) * (1.0 / 32767.0))
     else:
         _sat_zero(sat_ref)
