@@ -1986,18 +1986,19 @@ def _e1rtv_kernel(n1, n2, mh, mu2, mu3, tau,
     W = jnp.maximum(rho / mu3 + img_c, 0.0)
     b = mu3 * W - rho
     qb = _store_carry(bo_ref, b, sc_b)
-    if q0 is not None and _SAT_ENABLED:
-        # post-clip detection on the 2-byte stored values — the TV
-        # carries have analytic KKT headroom (|a| <= tau against an
-        # 8*tau scale), so a cheap "did any element hit full scale"
-        # check suffices; the pre-quant headroom diagnostic lives on
-        # the riskier v carry (dual-state kernel).  max/-min on native
-        # int16 avoids abs/widening temporaries.
-        qmax = jnp.maximum(
-            jnp.maximum(jnp.maximum(jnp.max(q0), -jnp.min(q0)),
-                        jnp.maximum(jnp.max(q1), -jnp.min(q1))),
-            jnp.maximum(jnp.max(qb), -jnp.min(qb)))
-        _sat_update(sat_ref, qmax.astype(f32) * (1.0 / 32767.0))
+    del q0, q1, qb  # stored values unused: sat reads the f32 pre-images
+    if _CARRY_TV_DTYPE == jnp.int16 and _SAT_ENABLED:
+        # pre-quantization headroom on the f32 values already in
+        # registers, as max/-min (no abs temp).  Integer reduces over
+        # the stored i16 planes do NOT lower in Mosaic (measured:
+        # compile failure) and widening them to i32 costs ~0.9 ms/call
+        # in temporaries — the f32 reduce costs ~0.1 ms.
+        m = jnp.maximum(
+            jnp.maximum(jnp.maximum(jnp.max(a0), -jnp.min(a0)),
+                        jnp.maximum(jnp.max(a1), -jnp.min(a1)))
+            * (1.0 / sc_a),
+            jnp.maximum(jnp.max(b), -jnp.min(b)) * (1.0 / sc_b))
+        _sat_update(sat_ref, m)
     else:
         _sat_zero(sat_ref)
     rk = b + adj0 + adj1
