@@ -117,11 +117,15 @@ def _mat_dtype():
     Precision.DEFAULT the MXU truncates f32 operands to bf16 anyway, so
     storing the constant matrices in bf16 is numerically identical and
     roughly halves their scoped-VMEM footprint (~2.2 MB per rplan stack
-    at 12MP) — headroom for bigger row blocks.  Default ON at DEFAULT
-    precision (LPT_MATS_BF16=0 disables); always f32 under
-    Precision.HIGHEST where it WOULD change numerics.  Twiddle/unpack
-    fields stay f32 (elementwise VPU math never truncates)."""
-    if (_os.environ.get("LPT_MATS_BF16", "1") == "1"
+    at 12MP) — headroom for bigger row blocks.  Opt-in (LPT_MATS_BF16=1)
+    and only honored at DEFAULT precision (under HIGHEST it WOULD
+    change numerics).  Round-4 measurement: the bf16 mats cost ~0.14 ms
+    in the dual-state kernel (per-use upcasts) and the hoped-for 48-row
+    block unlock still OOMs, while _prune_mats alone freed enough VMEM
+    for the saturation channel — so f32 stays the default.  Twiddle/
+    unpack fields are always f32 (elementwise VPU math never
+    truncates)."""
+    if (_os.environ.get("LPT_MATS_BF16", "0") == "1"
             and _PREC == jax.lax.Precision.DEFAULT):
         return jnp.bfloat16
     return jnp.float32
