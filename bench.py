@@ -722,6 +722,10 @@ def main():
                         "i16" if split_io == "bf16" else "f32"),
                     # measured-best carry-kernel row block at 12MP
                     LPT_E_BLOCK=os.environ.get("BENCH_E_BLOCK", "16"),
+                    # bf16 storage of the matmul stage matrices: free at
+                    # DEFAULT precision, measured ~0.1 ms faster in the
+                    # combine/dual-state kernels with the sat channel on
+                    LPT_MATS_BF16=os.environ.get("BENCH_MATS_BF16", "1"),
                 )
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--rung",
