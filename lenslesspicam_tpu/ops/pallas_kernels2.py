@@ -1850,7 +1850,7 @@ def irfft_w_dual(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, block_rows=None):
 # ---------------------------------------------------------------------------
 
 
-def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
+def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out, with_sat,
                               a0r_ref, a0i_ref, a1r_ref, a1i_ref,
                               p0r_ref, p0i_ref, p1r_ref, p1i_ref,
                               v_ref, mask_ref, dp_ref, *refs):
@@ -1882,7 +1882,7 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
     X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
     v = mu1 * X - xi
     _store_carry(vo_ref, v, _v_scale(mu1))
-    if _CARRY_V_DTYPE == jnp.int16 and _SAT_ENABLED:
+    if with_sat and _CARRY_V_DTYPE == jnp.int16 and _SAT_ENABLED:
         # pre-quantization headroom: the v scale is parameter-derived,
         # not analytic — report true overshoot, not just post-clip
         _sat_update(sat_ref, jnp.maximum(jnp.max(v), -jnp.min(v))
@@ -1895,11 +1895,14 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out,
 
 
 def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
-                       v, mask, dp, mu1, block_rows=None):
+                       v, mask, dp, mu1, block_rows=None, with_sat=True):
     """v3 post-transform step (see _w_rinv_dual_state_kernel).  Returns
     (image, v', v'_wr, v'_wi, sat) — sat is the (8, 128) carry-
     saturation channel (max pre-quantization |v| / full scale over all
-    grid steps; >= 1.0 means the int16 carry clipped)."""
+    grid steps; >= 1.0 means the int16 carry clipped).  The v reduce
+    costs ~0.3 ms/call at 12MP (VPU floor over 1M f32/grid step), so
+    the solver samples it every LPT_SAT_EVERY-th iteration
+    (with_sat=False compiles a variant that emits a zero channel)."""
     m, mh = a0r.shape
     n_full = 2 * mh
     br = block_rows or _e_block_rows_v3(m, n_full, "E2R")
@@ -1919,7 +1922,8 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
     return pl.pallas_call(
-        partial(_w_rinv_dual_state_kernel, n1, n2, scale, mu1, c_in, c_out),
+        partial(_w_rinv_dual_state_kernel, n1, n2, scale, mu1, c_in, c_out,
+                with_sat),
         grid=(nb,),
         in_specs=[spec_h] * 4 + [spec_col] * 4 + [spec_c] * 3
                  + _const_specs(imats) + _const_specs(fmats),
