@@ -373,8 +373,18 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                          s["v"], mask_c, dp_c)
 
             def invs(with_sat):
+                # under lax.cond the sat variant's scoped-VMEM footprint
+                # grows ~1 MB past the straight-line call (measured OOM
+                # by 908 KB at the default 32-row block); the sampled
+                # branch runs a smaller block — 1-in-8 iterations, so
+                # the per-call cost is amortized away
+                br = (pk2._pick_block(
+                    ph, int(os.environ.get("LPT_E2R_SAT_BLOCK", "24")))
+                    if with_sat and sat_every > 1 else None)
+
                 def fn(args):
                     return pk2.irfft_w_dual_state(*args, mu1,
+                                                  block_rows=br,
                                                   with_sat=with_sat)
                 return fn
 
