@@ -379,11 +379,14 @@ def certify_and_time(shape, label, n_iter=50, base_iter=2, repeats=3):
     #    the compiled kernels/carries/packing compute the reference
     #    recurrence at the headline shape and codepath.
     # 2. Past n~100 at 12MP, PSNR-at-fixed-n stops being a stable
-    #    instrument: the two trajectories phase-drift under 1e-3
-    #    rounding, and the exact f32 solver ITSELF collapses ~6 dB
-    #    from its n=100 peak (semiconvergent dual oscillation the
-    #    fast path's rounding happens to damp) while the compiled
-    #    pipeline holds steady.  Deep gates are therefore (a)
+    #    instrument: ADMM's PSNR trajectory on structured scenes is
+    #    OSCILLATORY even in float64 (measured: f64 == f32 to 0.01 dB
+    #    at 384x512 with swings 15.97 -> 14.18 -> 15.98 -> 17.43 dB
+    #    over n=10..200), so at fixed n the two implementations sit at
+    #    different phases of the same oscillation once 1e-3 rounding
+    #    has drifted them apart; at 12MP the exact f32 solver ITSELF
+    #    drops ~6 dB from its n=100 peak while the compiled pipeline
+    #    holds steady.  Deep gates are therefore (a)
     #    one-sided: compiled quality may not be MORE than 1.2 dB
     #    below the exact solver at the same n (it is allowed to be
     #    better — at n=300 it is, by +4 dB), and (b) anti-collapse:
