@@ -373,14 +373,14 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                          s["v"], mask_c, dp_c)
 
             def invs(with_sat):
-                # under lax.cond the sat variant's scoped-VMEM footprint
-                # grows ~1 MB past the straight-line call (measured OOM
-                # by 908 KB at the default 32-row block); the sampled
-                # branch runs a smaller block — 1-in-8 iterations, so
-                # the per-call cost is amortized away
+                # under lax.cond BOTH branch kernels' scoped-VMEM
+                # footprints grow ~0.9 MB past the straight-line call
+                # (measured: block 32 fits straight-line but OOMs by
+                # 908 KB inside either cond branch), so the sampled
+                # configuration drops the dual-state row block to 24
                 br = (pk2._pick_block(
-                    ph, int(os.environ.get("LPT_E2R_SAT_BLOCK", "24")))
-                    if with_sat and sat_every > 1 else None)
+                    ph, int(os.environ.get("LPT_E2R_COND_BLOCK", "24")))
+                    if sat_every > 1 else None)
 
                 def fn(args):
                     return pk2.irfft_w_dual_state(*args, mu1,
