@@ -806,6 +806,10 @@ def _run_secondary_modes(child_env):
         lines = [ln for ln in proc.stdout.strip().splitlines()
                  if ln.startswith("{")]
         if proc.returncode == 0 and lines:
+            tail = [ln for ln in proc.stderr.strip().splitlines()[-6:]
+                    if "WARNING" not in ln]
+            for ln in tail:
+                print(f"  [{mode}] {ln}", file=sys.stderr)
             print(f"secondary: {lines[-1]}", file=sys.stderr)
         else:
             print(f"mode {mode} failed (rc={proc.returncode}): "
