@@ -530,7 +530,7 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
         return _timed(run, base_iter, n_iter, repeats)
 
 
-def time_admm_mode(shape, mode, n_iter=150, base_iter=2, repeats=4,
+def time_admm_mode(shape, mode, n_iter=None, base_iter=2, repeats=4,
                    batch=4):
     # n_iter is sized so the iteration signal (~several seconds)
     # dominates the per-call dispatch noise: the vmapped 12MP solves
@@ -544,6 +544,11 @@ def time_admm_mode(shape, mode, n_iter=150, base_iter=2, repeats=4,
 
     from lenslesspicam_tpu.recon import admm_split
 
+    if n_iter is None:
+        # the per-call dispatch overhead over the tunnel is large AND
+        # variable (~seconds); deeper solves make the difference-method
+        # signal dominate it (BENCH_MODE_NITER to push further)
+        n_iter = int(os.environ.get("BENCH_MODE_NITER", "150"))
     rng = np.random.RandomState(0)
     ch = 3 if mode == "rgb" else 1
     b = 1 if mode == "rgb" else batch
