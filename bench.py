@@ -650,6 +650,14 @@ def run_mode(mode: str, shape=(3040, 4056)):
     # tighter blocks unless explicitly overridden
     os.environ.setdefault("LPT_E1R_BLOCK", "24")
     os.environ.setdefault("LPT_E2R_BLOCK", "16")
+    # standalone `--mode` runs must carry the fast-path dtype config
+    # themselves (when spawned by _run_secondary_modes these are
+    # already in the child env)
+    os.environ.setdefault("LPT_SPLIT_IO", "bf16")
+    os.environ.setdefault("LPT_CARRY_TV", "i16")
+    os.environ.setdefault("LPT_CARRY_V", "i16")
+    os.environ.setdefault("LPT_PALLAS_PRECISION", "default")
+    os.environ.setdefault("LPT_MATS_BF16", "1")
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     label = f"{shape[0] * shape[1] / 1e6:.0f}MP"

@@ -377,10 +377,14 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                 # footprints grow ~0.9 MB past the straight-line call
                 # (measured: block 32 fits straight-line but OOMs by
                 # 908 KB inside either cond branch), so the sampled
-                # configuration drops the dual-state row block to 24
-                br = (pk2._pick_block(
-                    ph, int(os.environ.get("LPT_E2R_COND_BLOCK", "24")))
-                    if sat_every > 1 else None)
+                # configuration caps the dual-state row block at 24 —
+                # never RAISING it above the env/default choice (the
+                # vmapped mode rungs run tighter blocks)
+                br = None
+                if sat_every > 1:
+                    base = pk2._e_block_rows_v3(ph, pw, "E2R")
+                    cap = int(os.environ.get("LPT_E2R_COND_BLOCK", "24"))
+                    br = pk2._pick_block(ph, min(base, cap))
 
                 def fn(args):
                     return pk2.irfft_w_dual_state(*args, mu1,
