@@ -358,49 +358,36 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
         # with full spatial coverage — the dual moves O(mu1) per step,
         # so any QUALITY-RELEVANT (persistent) clip spans many
         # iterations and is caught; sat_every=1 restores per-iteration
-        # checking
+        # checking.  Sampling is structured as SUPER-ITERATIONS (one
+        # sat iteration + sat_every-1 plain ones in straight-line
+        # code), NOT a per-iteration lax.cond: a cond inflates BOTH
+        # branch kernels' scoped VMEM by ~0.9 MB (forcing a smaller,
+        # slower dual-state block) and pays branch dispatch every
+        # iteration.
         sat_every = max(int(os.environ.get("LPT_SAT_EVERY", "8")), 1)
 
-        def body(i, s):
+        def one_iter(s, with_sat):
             (rkr, rki, a0n, a1n, bn, sat_tv) = pk2.e1_rtv(
                 s["image"], s["a0"], s["a1"], s["b"], mu2, mu3, tau)
             i0, iM, f0, fM = dc_patch(rkr, rki, s["vwr"], s["vwi"])
             (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
                 rkr, rki, s["vwr"], s["vwi"], Hr_c, Hi_c, R_c, ph)
-            invs_args = (a0r, a0i, a1r, a1i,
-                         zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
-                         zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
-                         s["v"], mask_c, dp_c)
-
-            def invs(with_sat):
-                # under lax.cond BOTH branch kernels' scoped-VMEM
-                # footprints grow ~0.9 MB past the straight-line call
-                # (measured: block 32 fits straight-line but OOMs by
-                # 908 KB inside either cond branch), so the sampled
-                # configuration caps the dual-state row block at 24 —
-                # never RAISING it above the env/default choice (the
-                # vmapped mode rungs run tighter blocks)
-                br = None
-                if sat_every > 1:
-                    base = pk2._e_block_rows_v3(ph, pw, "E2R")
-                    cap = int(os.environ.get("LPT_E2R_COND_BLOCK", "24"))
-                    br = pk2._pick_block(ph, min(base, cap))
-
-                def fn(args):
-                    return pk2.irfft_w_dual_state(*args, mu1,
-                                                  block_rows=br,
-                                                  with_sat=with_sat)
-                return fn
-
-            if sat_every > 1:
-                (imgn, vn, vwrn, vwin, sat_v) = jax.lax.cond(
-                    i % sat_every == 0, invs(True), invs(False), invs_args)
-            else:
-                (imgn, vn, vwrn, vwin, sat_v) = invs(True)(invs_args)
-            sat = jnp.maximum(s["sat"], jnp.maximum(jnp.max(sat_tv),
-                                                    jnp.max(sat_v)))
+            (imgn, vn, vwrn, vwin, sat_v) = pk2.irfft_w_dual_state(
+                a0r, a0i, a1r, a1i,
+                zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
+                zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
+                s["v"], mask_c, dp_c, mu1, with_sat=with_sat)
+            sat = jnp.maximum(s["sat"], jnp.max(sat_tv))
+            if with_sat:
+                sat = jnp.maximum(sat, jnp.max(sat_v))
             return dict(image=imgn, a0=a0n, a1=a1n, b=bn,
                         v=vn, vwr=vwrn, vwi=vwin, sat=sat)
+
+        def body(_, s):
+            return one_iter(s, True)
+
+        def body_ns(_, s):
+            return one_iter(s, False)
     else:
         state = dict(image=zeros_io, fwd=zeros_io, v=zeros_v, b=zeros_tv,
                      a0=zeros_tv, a1=zeros_tv, sat=jnp.zeros((), f32))
@@ -428,7 +415,20 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                         sat=sat)
 
     with pk2.forced_interpret(needs_interp):
-        state = jax.lax.fori_loop(0, n_iter, body, state)
+        if use_v3 and sat_every > 1:
+            # [sat-checked, plain x (sat_every-1)] super-iterations,
+            # then a sat-checked remainder — both loop bounds may be
+            # traced (dynamic n_iter keeps one executable)
+            def super_body(_, s):
+                s = one_iter(s, True)
+                return jax.lax.fori_loop(0, sat_every - 1, body_ns, s)
+
+            n_super = n_iter // sat_every
+            state = jax.lax.fori_loop(0, n_super, super_body, state)
+            state = jax.lax.fori_loop(0, n_iter - n_super * sat_every,
+                                      body, state)
+        else:
+            state = jax.lax.fori_loop(0, n_iter, body, state)
     img = pf.from_split_layout(state["image"].astype(f32))
     sy, sx = pre.start
     nh, nw = pre.psf_shape
