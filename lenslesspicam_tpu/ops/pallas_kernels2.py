@@ -304,6 +304,36 @@ def _sat_zero(sat_ref):
         sat_ref[:] = jnp.zeros(_SAT_BLOCK, jnp.float32)
 
 
+def _sat_scan_kernel(x_ref, sat_ref):
+    x = x_ref[:].astype(jnp.float32)
+    _sat_update(sat_ref, jnp.maximum(jnp.max(x), -jnp.min(x))
+                * (1.0 / 32767.0))
+
+
+def sat_scan_i16(x, block_rows=128):
+    """Saturation fraction of a STORED int16 carry plane as a dedicated
+    tiny kernel: max |x| / 32767 accumulated into the resident (8, 128)
+    block.  |stored|/32767 == min(pre-quant fraction, 1), so headroom
+    below full scale AND clip detection both survive; only overshoot
+    magnitude beyond 1.0 is lost.  Reading the plane costs ~0.12 ms at
+    12MP (bandwidth-bound) — sampled every LPT_SAT_EVERY iterations
+    that is ~0.015 ms/iter, an order cheaper than the in-kernel f32
+    reduce, and it keeps the hot dual-state kernel variant-free (cond
+    or nested-loop contexts inflate a kernel's scoped VMEM by
+    0.4-0.9 MB — fatal for the 32-row block, harmless for this one)."""
+    m, w = x.shape
+    br = _pick_block(m, block_rows)
+    return pl.pallas_call(
+        _sat_scan_kernel,
+        grid=(m // br,),
+        in_specs=[pl.BlockSpec((br, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=_sat_spec(),
+        out_shape=_sat_shape(),
+        interpret=_INTERPRET,
+    )(x)
+
+
 def carry_sat_fraction(x, scale):
     """XLA-side saturation fraction of a STORED carry plane (fallback
     paths without the in-kernel channel).  For int16 this can only

@@ -353,41 +353,39 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                      v=pk2.encode_v(v_init, mu1),
                      vwr=vwr0, vwi=vwi0, sat=jnp.zeros((), f32))
 
-        # the v saturation reduce costs ~0.3 ms/iter at 12MP (dense VPU
-        # scan), so it runs every LPT_SAT_EVERY-th iteration (default 8)
-        # with full spatial coverage — the dual moves O(mu1) per step,
-        # so any QUALITY-RELEVANT (persistent) clip spans many
-        # iterations and is caught; sat_every=1 restores per-iteration
-        # checking.  Sampling is structured as SUPER-ITERATIONS (one
-        # sat iteration + sat_every-1 plain ones in straight-line
-        # code), NOT a per-iteration lax.cond: a cond inflates BOTH
-        # branch kernels' scoped VMEM by ~0.9 MB (forcing a smaller,
-        # slower dual-state block) and pays branch dispatch every
-        # iteration.
+        # the v saturation check reads the STORED int16 plane with a
+        # dedicated tiny scan kernel every LPT_SAT_EVERY-th iteration
+        # (default 8; ~0.015 ms/iter amortized) — full spatial
+        # coverage, and the hot dual-state kernel stays variant-free
+        # at its best block (in-kernel sat variants under lax.cond or
+        # nested loops inflate scoped VMEM by 0.4-0.9 MB and OOM the
+        # 32-row block).  The dual moves O(mu1) per step, so any
+        # quality-relevant (persistent) clip spans many iterations and
+        # is caught; sat_every=1 scans every iteration.
         sat_every = max(int(os.environ.get("LPT_SAT_EVERY", "8")), 1)
+        scan_v = (pk2._CARRY_V_DTYPE == jnp.int16
+                  and getattr(pk2, "_SAT_ENABLED", True))
 
-        def one_iter(s, with_sat):
+        def body(i, s):
             (rkr, rki, a0n, a1n, bn, sat_tv) = pk2.e1_rtv(
                 s["image"], s["a0"], s["a1"], s["b"], mu2, mu3, tau)
             i0, iM, f0, fM = dc_patch(rkr, rki, s["vwr"], s["vwi"])
             (a0r, a0i), (a1r, a1i) = pk2.fft_h_combine_dual(
                 rkr, rki, s["vwr"], s["vwi"], Hr_c, Hi_c, R_c, ph)
-            (imgn, vn, vwrn, vwin, sat_v) = pk2.irfft_w_dual_state(
+            (imgn, vn, vwrn, vwin, _zero) = pk2.irfft_w_dual_state(
                 a0r, a0i, a1r, a1i,
                 zcol.at[:, 0].set(i0), zcol.at[:, 0].set(iM),
                 zcol.at[:, 0].set(f0), zcol.at[:, 0].set(fM),
-                s["v"], mask_c, dp_c, mu1, with_sat=with_sat)
+                s["v"], mask_c, dp_c, mu1, with_sat=False)
             sat = jnp.maximum(s["sat"], jnp.max(sat_tv))
-            if with_sat:
-                sat = jnp.maximum(sat, jnp.max(sat_v))
+            if scan_v:
+                sat_v = jax.lax.cond(
+                    i % sat_every == 0,
+                    lambda v: jnp.max(pk2.sat_scan_i16(v)),
+                    lambda v: jnp.zeros((), f32), vn)
+                sat = jnp.maximum(sat, sat_v)
             return dict(image=imgn, a0=a0n, a1=a1n, b=bn,
                         v=vn, vwr=vwrn, vwi=vwin, sat=sat)
-
-        def body(_, s):
-            return one_iter(s, True)
-
-        def body_ns(_, s):
-            return one_iter(s, False)
     else:
         state = dict(image=zeros_io, fwd=zeros_io, v=zeros_v, b=zeros_tv,
                      a0=zeros_tv, a1=zeros_tv, sat=jnp.zeros((), f32))
@@ -415,20 +413,7 @@ def run_split_rfused(pre: RSplitPrecomp, params: ADMMParams = ADMMParams(),
                         sat=sat)
 
     with pk2.forced_interpret(needs_interp):
-        if use_v3 and sat_every > 1:
-            # [sat-checked, plain x (sat_every-1)] super-iterations,
-            # then a sat-checked remainder — both loop bounds may be
-            # traced (dynamic n_iter keeps one executable)
-            def super_body(_, s):
-                s = one_iter(s, True)
-                return jax.lax.fori_loop(0, sat_every - 1, body_ns, s)
-
-            n_super = n_iter // sat_every
-            state = jax.lax.fori_loop(0, n_super, super_body, state)
-            state = jax.lax.fori_loop(0, n_iter - n_super * sat_every,
-                                      body, state)
-        else:
-            state = jax.lax.fori_loop(0, n_iter, body, state)
+        state = jax.lax.fori_loop(0, n_iter, body, state)
     img = pf.from_split_layout(state["image"].astype(f32))
     sy, sx = pre.start
     nh, nw = pre.psf_shape
