@@ -1889,7 +1889,8 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out, with_sat,
     forward W transform of v' — fwd never leaves the kernel."""
     imats = tuple(r[:] for r in refs[:_N_RMATS])
     fmats = tuple(r[:] for r in refs[_N_RMATS:2 * _N_RMATS])
-    (img_ref, vo_ref, vwr_ref, vwi_ref, sat_ref) = refs[2 * _N_RMATS:]
+    (img_ref, vo_ref, vwr_ref, vwi_ref, *opt_sat) = refs[2 * _N_RMATS:]
+    sat_ref = opt_sat[0] if opt_sat else None
     f32 = jnp.float32
     br, mh = a0r_ref.shape
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (br, mh), 1) == 0
@@ -1912,13 +1913,14 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out, with_sat,
     X = xdv * (xi + mu1 * fwd + dp_ref[:].astype(f32))
     v = mu1 * X - xi
     _store_carry(vo_ref, v, _v_scale(mu1))
-    if with_sat and _CARRY_V_DTYPE == jnp.int16 and _SAT_ENABLED:
-        # pre-quantization headroom: the v scale is parameter-derived,
-        # not analytic — report true overshoot, not just post-clip
-        _sat_update(sat_ref, jnp.maximum(jnp.max(v), -jnp.min(v))
-                    * (1.0 / _v_scale(mu1)))
-    else:
-        _sat_zero(sat_ref)
+    if sat_ref is not None:
+        if with_sat and _CARRY_V_DTYPE == jnp.int16 and _SAT_ENABLED:
+            # pre-quantization headroom: the v scale is parameter-
+            # derived, not analytic — report true overshoot
+            _sat_update(sat_ref, jnp.maximum(jnp.max(v), -jnp.min(v))
+                        * (1.0 / _v_scale(mu1)))
+        else:
+            _sat_zero(sat_ref)
     zr, zi = _w_rfwd_core(v, n1, n2, fmats)
     vwr_ref[:] = zr.astype(vwr_ref.dtype)
     vwi_ref[:] = zi.astype(vwi_ref.dtype)
@@ -1951,16 +1953,28 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
     cr_v = jax.ShapeDtypeStruct((m, n_full), _CARRY_V_DTYPE)
     c_in = 1.0 / (1.0 + mu1)
     c_out = 1.0 / mu1
-    return pl.pallas_call(
+    # the no-sat variant drops the sat output block entirely (even the
+    # dead (8,128) buffer's double-buffered footprint matters: the
+    # kernel sits within ~12 KB of the 16 MB scoped-VMEM limit in some
+    # jit contexts) — the caller receives zeros instead
+    out_specs = (spec_c, spec_c, spec_h, spec_h)
+    out_shape = (io_sh, cr_v, io_h, io_h)
+    if with_sat:
+        out_specs = out_specs + (_sat_spec(),)
+        out_shape = out_shape + (_sat_shape(),)
+    out = pl.pallas_call(
         partial(_w_rinv_dual_state_kernel, n1, n2, scale, mu1, c_in, c_out,
                 with_sat),
         grid=(nb,),
         in_specs=[spec_h] * 4 + [spec_col] * 4 + [spec_c] * 3
                  + _const_specs(imats) + _const_specs(fmats),
-        out_specs=(spec_c, spec_c, spec_h, spec_h, _sat_spec()),
-        out_shape=(io_sh, cr_v, io_h, io_h, _sat_shape()),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_INTERPRET,
     )(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i, v, mask, dp, *imats, *fmats)
+    if with_sat:
+        return out
+    return out + (jnp.zeros(_SAT_BLOCK, jnp.float32),)
 
 
 def _e_block_rows_v3(m, w, which="E1R"):
