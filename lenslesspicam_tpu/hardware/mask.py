@@ -164,25 +164,31 @@ class CodedAperture(Mask):
         return all(n % i for i in range(3, int(sqrt(n)) + 1, 2))
 
     def generate_mura(self, p):
-        """MURA via quadratic residues (mask.py:391-410)."""
+        """p x p MURA pattern via quadratic residues (behavioral parity
+        with reference mask.py:391-410, vectorized: the inner (p-1)^2
+        block is the XNOR outer product of one residue-indicator
+        vector; first row dark, first column lit below the corner)."""
         if not self.is_prime(p):
             raise ValueError("MURA requires a prime number of bits")
+        is_qr = np.zeros(p, dtype=bool)
+        is_qr[quadratic_residues(p)] = True
         A = np.zeros((p, p), dtype=int)
-        q = set(quadratic_residues(p))
         A[1:, 0] = 1
-        for j in range(1, p):
-            for i in range(1, p):
-                if not ((i - 1 in q) != (j - 1 in q)):
-                    A[i, j] = 1
+        A[1:, 1:] = is_qr[: p - 1, None] == is_qr[None, : p - 1]
         return A
 
     def get_conv_matrices(self, img_shape):
-        """Circulant P, Q such that measurement = P X Q^T
-        (mask.py:412-435)."""
-        from scipy.linalg import circulant
+        """Circulant P, Q such that measurement = P X Q^T (reference
+        mask.py:412-435).  Built by index arithmetic — entry (i, j) of a
+        circulant of s is s[(i - j) mod n] — truncated to the scene's
+        row/column counts."""
 
-        P = circulant(np.resize(self.col, self.resolution[0]))[:, : img_shape[0]]
-        Q = circulant(np.resize(self.row, self.resolution[1]))[:, : img_shape[1]]
+        def _circulant_cols(seq, n, m):
+            s = np.resize(seq, n)
+            return s[(np.arange(n)[:, None] - np.arange(m)[None, :]) % n]
+
+        P = _circulant_cols(self.col, self.resolution[0], img_shape[0])
+        Q = _circulant_cols(self.row, self.resolution[1], img_shape[1])
         return P, Q
 
     def simulate(self, obj, snr_db=20, key=None):
