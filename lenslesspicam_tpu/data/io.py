@@ -120,17 +120,14 @@ def load_image(
         img = img4 if was_4d else (img4[0] if img.ndim >= 3 else img4[0, :, :, 0])
 
     if return_float:
-        if dtype is None:
-            dtype = np.float32
-        assert dtype in (np.float32, np.float64)
-        img = img.astype(dtype)
-        if normalize:
-            if img.max() > 0:
-                img /= img.max()
+        out_dtype = np.float32 if dtype is None else dtype
+        assert out_dtype in (np.float32, np.float64)
+        img = img.astype(out_dtype)
+        peak = img.max()
+        if normalize and peak > 0:
+            img /= peak
     else:
-        if dtype is None:
-            dtype = original_dtype
-        img = img.astype(dtype)
+        img = img.astype(original_dtype if dtype is None else dtype)
 
     if verbose:
         print_image_info(img)
