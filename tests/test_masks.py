@@ -38,14 +38,15 @@ def test_coded_aperture_mura():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
-def test_mura_pattern_golden():
+@pytest.mark.parametrize("p", [5, 7, 11, 13])
+def test_mura_pattern_golden(p):
     add_reference_to_path()
     stub_reference_mask_deps()
     from lensless.hardware.mask import CodedAperture as RefCA
 
-    ours = CodedAperture(method="MURA", n_bits=5, resolution=(5, 5),
+    ours = CodedAperture(method="MURA", n_bits=p, resolution=(p, p),
                          feature_size=FEATURE)
-    ref = RefCA(method="MURA", n_bits=5, resolution=(5, 5), feature_size=FEATURE)
+    ref = RefCA(method="MURA", n_bits=p, resolution=(p, p), feature_size=FEATURE)
     np.testing.assert_array_equal(np.asarray(ours.mask), np.asarray(ref.mask))
 
 
