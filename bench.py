@@ -401,6 +401,7 @@ def certify_and_time(shape, label, n_iter=50, base_iter=2, repeats=3,
         f"vs compiled {p10:.2f} dB")
     print(f"scale exactness gate ok ({label}, n=10): exact {p10e:.2f} dB, "
           f"compiled {p10:.2f} dB", file=sys.stderr)
+    po300 = pe300 = None
     for n in (100, 300):
         pe = float(exact_psnr(conv, data5, scene_n, n))
         po, _, sat = run_cert(arrs, scene_n, n)
@@ -412,19 +413,23 @@ def certify_and_time(shape, label, n_iter=50, base_iter=2, repeats=3,
             f"dB more than 1.2 dB below exact {pe:.2f} dB")
         print(f"scale quality gate ok ({label}, n={n}): exact {pe:.2f} dB, "
               f"compiled {po:.2f} dB, carry sat {sat:.2f}", file=sys.stderr)
+        if n == 300:
+            po300, pe300 = po, pe
     if anti_collapse:
         # calibrated at the HEADLINE scene/grid, where the compiled
         # trajectory was measured to hold steady past n=100; at other
         # grids both solvers may semiconverge together (tracked by the
         # one-sided gate above), so callers certifying off-headline
-        # shapes (tests/test_tpu_onchip.py) disable this check
-        assert po >= p10 - 0.5, (
+        # shapes (tests/test_tpu_onchip.py) disable this check.
+        # po300/pe300 are captured explicitly above — the gate is pinned
+        # to n=300 regardless of the quality-gate loop's iteration set
+        assert po300 >= p10 - 0.5, (
             f"scale anti-collapse gate failed ({label}): compiled n=300 "
-            f"{po:.2f} dB below its n=10 quality {p10:.2f} dB")
+            f"{po300:.2f} dB below its n=10 quality {p10:.2f} dB")
         print(f"scale anti-collapse gate ok ({label}): compiled n=300 "
-              f"{po:.2f} dB >= n=10 {p10:.2f} dB (the exact f32 solver "
+              f"{po300:.2f} dB >= n=10 {p10:.2f} dB (the exact f32 solver "
               "FAILS this check at 12MP — it semiconverges to "
-              f"{pe:.2f} dB)", file=sys.stderr)
+              f"{pe300:.2f} dB)", file=sys.stderr)
 
     val = _timed(lambda k: float(run_cert(arrs, scene_n, k)[1]),
                  base_iter, n_iter, repeats)

@@ -123,9 +123,10 @@ def load_image(
         out_dtype = np.float32 if dtype is None else dtype
         assert out_dtype in (np.float32, np.float64)
         img = img.astype(out_dtype)
-        peak = img.max()
-        if normalize and peak > 0:
-            img /= peak
+        if normalize:
+            peak = img.max()
+            if peak > 0:
+                img /= peak
     else:
         img = img.astype(original_dtype if dtype is None else dtype)
 

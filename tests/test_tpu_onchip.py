@@ -34,11 +34,13 @@ requires_tpu = pytest.mark.skipif(
 def test_compiled_rfused_certified_small_grid():
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "LPT_PLATFORM")}
-    # the bench fast-path dtype config — certify what the headline runs
-    env.setdefault("LPT_SPLIT_IO", "bf16")
-    env.setdefault("LPT_CARRY_TV", "i16")
-    env.setdefault("LPT_CARRY_V", "i16")
-    env.setdefault("LPT_MATS_BF16", "1")
+    # the bench fast-path dtype config — certify what the headline runs;
+    # assigned unconditionally so a stray LPT_* in the caller's shell
+    # cannot silently certify a different pipeline
+    env["LPT_SPLIT_IO"] = "bf16"
+    env["LPT_CARRY_TV"] = "i16"
+    env["LPT_CARRY_V"] = "i16"
+    env["LPT_MATS_BF16"] = "1"
     # anti_collapse=False: that gate is calibrated at the headline 12MP
     # scene where the compiled trajectory holds steady past n=100; at
     # 1024x1024 both the exact and compiled solvers semiconverge
