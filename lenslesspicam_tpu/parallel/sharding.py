@@ -46,17 +46,23 @@ def shard_convolver(mesh: Mesh, conv):
     """Place the convolver's spectrum depth-sharded on the mesh."""
     import dataclasses
 
-    H = jax.device_put(conv.H, NamedSharding(mesh, conv_spec()))
+    from .distributed import put_global
+
+    H = put_global(conv.H, NamedSharding(mesh, conv_spec()))
     return dataclasses.replace(conv, H=H)
 
 
 def shard_batch(mesh: Mesh, data):
-    return jax.device_put(data, NamedSharding(mesh, batch_spec()))
+    from .distributed import put_global
+
+    return put_global(data, NamedSharding(mesh, batch_spec()))
 
 
 def replicate(mesh: Mesh, tree):
+    from .distributed import put_global
+
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
 
 
 def sharded_admm_run(mesh: Mesh, conv, data, params=None, n_iter=100):

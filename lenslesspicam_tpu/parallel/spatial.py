@@ -142,11 +142,17 @@ def finite_diff_adj_sharded(u):
 
 def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
                          params: ADMMParams = ADMMParams(), n_iter: int = 100,
-                         backend: str = "auto"):
+                         backend: str = "auto", batch_axis: str | None = None):
     """Full ADMM with every state grid row-sharded over mesh axis 'sp'.
 
     Returns the cropped (batch, depth, H, W, C) reconstruction,
     row-sharded on the same axis.
+
+    batch_axis: optional second mesh axis to shard the BATCH dim over —
+        the multi-host layout (parallel/distributed.py): batch over the
+        process-spanning 'data' axis (one gradient-free solve per host,
+        zero cross-host traffic), rows over the in-host 'sp' axis whose
+        per-iteration all_to_alls stay on ICI.  XLA backend only.
 
     backend: "xla" — jnp.fft pencil stages (any shape);
              "rpallas" — half-spectrum packed-real Pallas pencil
@@ -160,15 +166,17 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
              full-width pallas path, else xla.
     """
     if backend == "auto":
-        if _pallas_rspatial_ok(mesh, conv):
+        if batch_axis is None and _pallas_rspatial_ok(mesh, conv):
             backend = "rpallas"
-        elif _pallas_spatial_ok(mesh, conv):
+        elif batch_axis is None and _pallas_spatial_ok(mesh, conv):
             backend = "pallas"
         else:
             backend = "xla"
     if backend == "rpallas":
+        assert batch_axis is None, "batch_axis: xla backend only"
         return spatial_sharded_admm_rpallas(mesh, conv, data, params, n_iter)
     if backend == "pallas":
+        assert batch_axis is None, "batch_axis: xla backend only"
         return spatial_sharded_admm_pallas(mesh, conv, data, params, n_iter)
     assert AXIS in mesh.axis_names
     # the sharded synthesis chain has no trailing ifftshift roll; the
@@ -202,13 +210,15 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
     H_pad = _pad_cols(conv.H, pwh_pad)
     R_pad = _pad_cols(R_divmat.astype(dtype), pwh_pad)
 
-    row_sharding = NamedSharding(mesh, P(None, None, AXIS))
-    spec_sharding = NamedSharding(mesh, P(None, None, AXIS))  # shard half-W axis
+    # placements via put_global: identical to device_put single-process,
+    # and valid across processes on a multi-host mesh
+    from .distributed import put_global
 
-    H_s = jax.device_put(H_pad, NamedSharding(mesh, P(None, None, AXIS)))
-    R_s = jax.device_put(R_pad, NamedSharding(mesh, P(None, None, AXIS)))
-    Xdiv_s = jax.device_put(X_divmat, NamedSharding(mesh, P(None, AXIS)))
-    data_s = jax.device_put(data_pad, NamedSharding(mesh, P(None, None, AXIS)))
+    ba = batch_axis  # data (B, D, ph, pw, C): dim 0 rides the DCN axis
+    H_s = put_global(H_pad, NamedSharding(mesh, P(None, None, AXIS)))
+    R_s = put_global(R_pad, NamedSharding(mesh, P(None, None, AXIS)))
+    Xdiv_s = put_global(X_divmat, NamedSharding(mesh, P(None, AXIS)))
+    data_s = put_global(data_pad, NamedSharding(mesh, P(ba, None, AXIS)))
 
     mu1, mu2, mu3, tau = (params.mu1, params.mu2, params.mu3, params.tau)
 
@@ -220,8 +230,8 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(None, None, AXIS), P(None, None, AXIS), P(None, AXIS),
-                  P(None, None, AXIS)),
-        out_specs=P(None, None, AXIS),
+                  P(ba, None, AXIS)),
+        out_specs=P(ba, None, AXIS),
     )
     def run(H_l, R_l, Xdiv_l, data_l):
         def conv_apply(v, filt):
