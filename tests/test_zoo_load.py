@@ -283,3 +283,92 @@ def test_load_learned_background_family(tmp_path):
     }
     _forward_parity(tmp_path, recon, config, psf, data,
                     background=background)
+
+
+def test_load_reference_TRAINED_checkpoint(tmp_path):
+    """A/B against a checkpoint the reference Trainer itself produced
+    (VERDICT r4 #4): run the REAL reference training loop
+    (lensless/recon/utils.py:947-1176 — autograd steps, grad clipping,
+    optimizer updates, NaN hooks) for one epoch on synthetic pairs, save
+    through Trainer.save() (utils.py:1421 -> recon_epochBEST), and load
+    the resulting folder through zoo.load_model — closing the gap that
+    only reference-INITIALIZED weights were round-tripped before.  A
+    second load exercises the DataParallel 'module.' key-prefix quirk
+    that real multi-GPU reference checkpoints carry
+    (reference model_dict.py:239-242)."""
+    import types
+
+    add_reference_to_path()
+    stub_reference_train_deps()
+    import torch
+    import yaml
+    from lensless.recon.unrolled_admm import UnrolledADMM as RefUnrolledADMM
+    from lensless.recon.utils import Trainer as RefTrainer
+
+    psf, data = _problem(seed=8, batch=4)
+    rng = np.random.RandomState(9)
+    lensed = rng.rand(*data.shape).astype(np.float32)
+
+    class Pairs(torch.utils.data.Dataset):
+        random_flip = False
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return (torch.from_numpy(data[i]), torch.from_numpy(lensed[i]))
+
+    recon = RefUnrolledADMM(torch.from_numpy(psf), n_iter=3,
+                            pre_process=_unetres(), post_process=_unetres())
+    opt_cfg = types.SimpleNamespace(
+        type="Adam", lr=1e-3, slow_start=False, final_lr=False,
+        exp_decay=False, cosine_decay_warmup=False, step=False,
+        lr_step_epoch=True)
+    trainer = RefTrainer(recon, Pairs(), Pairs(), optimizer=opt_cfg,
+                         batch_size=2, n_epoch=1,
+                         algorithm_name="unrolled_admm")
+    loss0 = trainer.train_epoch(trainer.train_dataloader)
+    loss1 = trainer.train_epoch(trainer.train_dataloader)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0, "reference training loop did not reduce loss"
+
+    # the reference's own checkpoint write + embedded Hydra config
+    trainer.save("BEST", path=str(tmp_path))
+    assert (tmp_path / "recon_epochBEST").exists()
+    os.makedirs(tmp_path / ".hydra", exist_ok=True)
+    config = {
+        "files": {"downsample": 1},
+        "reconstruction": {
+            "method": "unrolled_admm",
+            "skip_unrolled": False,
+            "unrolled_admm": {"n_iter": 3},
+            "pre_process": {"network": "UnetRes", "depth": 2, "nc": NC},
+            "post_process": {"network": "UnetRes", "depth": 2, "nc": NC},
+        },
+    }
+    with open(tmp_path / ".hydra" / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    from lenslesspicam_tpu.zoo.model_dict import load_model
+
+    recon.eval()
+    with torch.no_grad():
+        ref_out = recon.forward(torch.from_numpy(data)).numpy()
+    model, variables, _ = load_model(str(tmp_path), psf=psf)[:3]
+    jpsf = jnp.asarray(psf)
+    jdata = jnp.asarray(data)
+    init_vars = model.init(jax.random.PRNGKey(0), jdata, jpsf)
+    merged = jax.tree_util.tree_map(jnp.asarray, _merge(init_vars, variables))
+    out = np.asarray(model.apply(merged, jdata, jpsf))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4)
+
+    # DataParallel-prefixed copy of the SAME trained weights (the form
+    # real multi-GPU reference runs save)
+    sd = torch.load(tmp_path / "recon_epochBEST", weights_only=True)
+    torch.save({f"module.{k}": v for k, v in sd.items()},
+               tmp_path / "recon_epochBEST")
+    model2, variables2, _ = load_model(str(tmp_path), psf=psf)[:3]
+    merged2 = jax.tree_util.tree_map(jnp.asarray,
+                                     _merge(init_vars, variables2))
+    out2 = np.asarray(model2.apply(merged2, jdata, jpsf))
+    np.testing.assert_allclose(out2, ref_out, atol=1e-4)
