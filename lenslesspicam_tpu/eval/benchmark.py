@@ -114,6 +114,13 @@ def benchmark(
 
     from ..ops.noise import add_shot_noise
 
+    if lpips_fn is None and lpips_alex_fn is None:
+        # weights fixture path (eval/lpips.py): LPT_LPIPS_WEIGHTS /
+        # LPT_LPIPS_ALEX_WEIGHTS env hooks auto-enable the LPIPS columns
+        from .lpips import metrics_from_env
+
+        lpips_fn, lpips_alex_fn = metrics_from_env()
+
     metrics_fn = jax.jit(lambda p, t: _batch_metrics(p, t, normalize))
     sums: dict = {}
     counts: dict = {}

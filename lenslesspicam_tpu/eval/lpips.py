@@ -161,3 +161,99 @@ def load_torch_lpips(path, net="vgg"):
             if key_fmt in sd:
                 params[f"lin{i}"] = jnp.asarray(sd[key_fmt].numpy().reshape(-1))
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Weights fixture path (VERDICT r4 #8): point LPT_LPIPS_WEIGHTS /
+# LPT_LPIPS_ALEX_WEIGHTS at a weights file and benchmark() emits real
+# LPIPS columns end-to-end — no code changes, no network at eval time.
+#
+# Accepted formats: a torch state dict (.pt/.pth — the ``lpips`` package
+# checkpoint merged with the torchvision trunk, converted through
+# load_torch_lpips) or a flax-params .npz written by save_params_npz
+# (portable, torch-free).  One-command conversion on any machine WITH
+# network (see docs/source/evaluation.rst):
+#
+#   python -c "import lpips, torch; m = lpips.LPIPS(net='vgg');
+#              torch.save(m.state_dict(), 'lpips_vgg.pt')"
+#
+# then ship lpips_vgg.pt and set LPT_LPIPS_WEIGHTS=/path/lpips_vgg.pt.
+# ---------------------------------------------------------------------------
+
+
+def save_params_npz(variables, path):
+    """Write flax LPIPS params as a flat .npz ('/'-joined keys) — the
+    portable, torch-free fixture format."""
+    flat = {}
+
+    def rec(tree, prefix):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                rec(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    rec(variables, "")
+    np.savez(path, **flat)
+
+
+def load_params_npz(path):
+    """Inverse of :func:`save_params_npz`."""
+    data = np.load(path)
+    tree = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return tree
+
+
+def make_standin_weights(path, net="vgg", seed=0):
+    """Deterministic stand-in weights file for CI (seeded random params
+    written as .npz).  Exercises the ENTIRE fixture path — env hook,
+    file load, jitted metric, benchmark columns — but is NOT a
+    perceptual metric; use converted pretrained weights for real
+    numbers."""
+    variables = random_params(jax.random.PRNGKey(seed), net=net)
+    save_params_npz(jax.tree_util.tree_map(np.asarray, variables), path)
+    return path
+
+
+def load_weights_file(path, net="vgg"):
+    """Load an LPIPS weights file of either supported format."""
+    if str(path).endswith(".npz"):
+        return load_params_npz(path)
+    return load_torch_lpips(path, net=net)
+
+
+def metric_from_weights(path, net="vgg"):
+    """(pred_4d, target_4d) -> per-image LPIPS, jitted — the callable
+    contract of benchmark(lpips_fn=...)."""
+    variables = load_weights_file(path, net=net)
+    model = LPIPS(net=net)
+
+    @jax.jit
+    def fn(pred, target):
+        if pred.shape[-1] == 1:  # grayscale -> 3-channel, like the
+            pred = jnp.repeat(pred, 3, axis=-1)      # reference loss path
+            target = jnp.repeat(target, 3, axis=-1)
+        return model.apply(variables, pred, target)
+
+    return fn
+
+
+def metrics_from_env():
+    """(lpips_vgg_fn, lpips_alex_fn) from the LPT_LPIPS_WEIGHTS /
+    LPT_LPIPS_ALEX_WEIGHTS env hooks; (None, None) when unset —
+    benchmark() calls this so LPIPS columns appear whenever a weights
+    file is present (reference behavior: lensless/eval/benchmark.py:
+    141-155 computes LPIPS unconditionally via the lpips package)."""
+    import os
+
+    vgg_path = os.environ.get("LPT_LPIPS_WEIGHTS")
+    alex_path = os.environ.get("LPT_LPIPS_ALEX_WEIGHTS")
+    fn_vgg = metric_from_weights(vgg_path, "vgg") if vgg_path else None
+    fn_alex = metric_from_weights(alex_path, "alex") if alex_path else None
+    return fn_vgg, fn_alex
