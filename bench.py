@@ -453,22 +453,41 @@ def _report_roofline(shape, val, backend):
           file=sys.stderr)
 
 
+# timing-variance record of the most recent _timed call (VERDICT r4 #6):
+# {median, iqr, n_meas} ride into every JSON artifact line so the driver
+# records each rung's spread, not just a point estimate
+_LAST_TIMING = {}
+
+
 def _timed(fn, base_iter, n_iter, repeats=3):
-    """it/s via the difference method: per-call overhead cancels."""
-    fn(base_iter)
+    """it/s via the difference method: per-call overhead cancels.
 
-    def best_time(k):
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fn(k)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    Each repeat measures a (full, base) PAIR back-to-back so slow tunnel
+    drift cancels within the pair; the reported value is the MEDIAN of
+    the per-pair rates and the spread (IQR, n) is recorded in
+    _LAST_TIMING for the artifact line."""
+    fn(base_iter)   # warmup/compile
 
-    t_base = best_time(base_iter)
-    t_full = best_time(n_iter)
-    assert t_full > t_base, f"timing not scaling: {t_base:.4f}s vs {t_full:.4f}s"
-    return (n_iter - base_iter) / (t_full - t_base)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(n_iter)
+        t_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(base_iter)
+        t_base = time.perf_counter() - t0
+        assert t_full > t_base, (
+            f"timing not scaling: {t_base:.4f}s vs {t_full:.4f}s")
+        rates.append((n_iter - base_iter) / (t_full - t_base))
+    med = float(np.median(rates))
+    q1, q3 = np.percentile(rates, [25, 75])
+    _LAST_TIMING.clear()
+    _LAST_TIMING.update(median=round(med, 3), iqr=round(float(q3 - q1), 3),
+                        n_meas=len(rates))
+    print(f"timing spread: median {med:.2f} it/s, IQR {q3 - q1:.2f}, "
+          f"n={len(rates)} ({', '.join(f'{r:.1f}' for r in rates)})",
+          file=sys.stderr)
+    return med
 
 
 def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
@@ -524,7 +543,7 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
                 val = _timed(lambda k: float(run_sum(*args, k)), base_iter, n_iter, repeats)
             print(f"backend {backend}: {val:.2f} it/s", file=sys.stderr)
             _report_roofline(shape, val, backend)
-            return val
+            return val, backend
         except Exception as e:
             print(f"backend {backend} failed: {e}", file=sys.stderr)
     try:
@@ -539,7 +558,110 @@ def time_admm(shape, n_iter=50, base_iter=2, repeats=3):
         def run(k):
             admm.run_jit(conv, data, n_iter=k).block_until_ready()
 
-        return _timed(run, base_iter, n_iter, repeats)
+        return _timed(run, base_iter, n_iter, repeats), "standard"
+
+
+def certify_and_time_mode(shape, mode, label, n_iter=None, base_iter=2,
+                          repeats=4, batch=4):
+    """At-scale certification + timing of the BATCHED/RGB compiled
+    pipeline (VERDICT r4 #2) — the mode analog of certify_and_time.
+
+    Planes are per-plane-scaled copies of the structured certification
+    scene; gates run per plane: exactness vs the exact XLA solver at
+    n=10 (0.1 dB), one-sided quality at n=100/300 (compiled may not be
+    >1.2 dB below exact), anti-collapse (compiled n=300 not below its
+    own n=10), carry saturation < 1.  Timing reuses the SAME jitted
+    executable.  Returns image-iterations/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from lenslesspicam_tpu.ops.fft_conv import FFTConvolver
+    from lenslesspicam_tpu.recon import admm, admm_split
+
+    if n_iter is None:
+        n_iter = int(os.environ.get("BENCH_MODE_NITER", "150"))
+    rng = np.random.RandomState(0)
+    scene, psf2d = _cert_scene_psf(shape, rng)
+    ch = 3 if mode == "rgb" else 1
+    b = 1 if mode == "rgb" else batch
+    nplanes = b * ch
+    # per-plane scaled copies: distinct data per plane, same structure
+    scales = np.linspace(1.0, 0.55, nplanes).astype(np.float32)
+    scenes = np.stack([scene * s for s in scales]).reshape(
+        b, ch, *shape).transpose(0, 2, 3, 1)          # (b, H, W, ch)
+    psf = np.repeat(psf2d[None, :, :, None], ch, axis=-1)
+
+    @jax.jit
+    def sim(psf4d, scene5d):
+        fwd = FFTConvolver.from_psf(psf4d, pad=True, norm="backward")
+        m = fwd.convolve(scene5d)
+        return m / jnp.maximum(
+            m.max(axis=(-2, -3), keepdims=True), 1e-9)
+
+    meas = np.asarray(sim(jnp.asarray(psf),
+                          jnp.asarray(scenes[:, None]))).astype(np.float32)
+    scenes_n = jnp.asarray(
+        scenes / scenes.max(axis=(1, 2), keepdims=True))[:, None]
+
+    def psnrs_of(out5, sc5):
+        on = out5 / jnp.maximum(out5.max(axis=(-2, -3), keepdims=True), 1e-9)
+        mse = jnp.mean((on - sc5) ** 2, axis=(-2, -3))
+        return (-10.0 * jnp.log10(mse + 1e-12)).reshape(-1)
+
+    conv = admm.make_convolver(psf)
+
+    @jax.jit
+    def exact_psnrs(conv_, data, sc, n):
+        out = admm.run(conv_, data, n_iter=n)
+        return psnrs_of(out, sc)
+
+    pre, info = admm_split.precompute_rsplit_general(psf, meas)
+    arr_fields = ("Hr", "Hi", "R", "mask", "data_pad",
+                  "H0r", "H0i", "HMr", "HMi", "R0", "RM")
+    arrs = tuple(getattr(pre, f) for f in arr_fields)
+
+    @jax.jit
+    def run_cert(arrs_, d, sc, n):
+        p = admm_split.RSplitPrecomp(
+            *arrs_, pre.psf_shape, pre.padded_shape, pre.start)
+        out, sat = admm_split.run_rsplit_general(p, info, d, n_iter=n,
+                                                 return_sat=True)
+        return (psnrs_of(out, sc), out[:, :, ::499, ::499].sum(), sat)
+
+    data_j = jnp.asarray(meas)
+    pe10 = np.asarray(exact_psnrs(conv, data_j, scenes_n, 10))
+    po10, _, s10 = run_cert(arrs, data_j, scenes_n, 10)
+    po10, s10 = np.asarray(po10), float(s10)
+    assert np.abs(pe10 - po10).max() <= 0.1, (
+        f"mode exactness gate failed ({label} {mode}, n=10): "
+        f"exact {pe10} vs compiled {po10}")
+    print(f"mode exactness gate ok ({label} {mode}, n=10): "
+          f"max |diff| {np.abs(pe10 - po10).max():.3f} dB over "
+          f"{nplanes} planes", file=sys.stderr)
+    po300 = None
+    for n in (100, 300):
+        pe = np.asarray(exact_psnrs(conv, data_j, scenes_n, n))
+        po, _, sat = run_cert(arrs, data_j, scenes_n, n)
+        po, sat = np.asarray(po), float(sat)
+        assert sat < 1.0, (
+            f"mode carry-sat gate failed ({label} {mode}, n={n}): {sat:.3f}")
+        assert (po >= pe - 1.2).all(), (
+            f"mode quality gate failed ({label} {mode}, n={n}): "
+            f"compiled {po} vs exact {pe}")
+        print(f"mode quality gate ok ({label} {mode}, n={n}): "
+              f"exact {pe.mean():.2f} dB mean, compiled {po.mean():.2f} dB "
+              f"mean, sat {sat:.2f}", file=sys.stderr)
+        if n == 300:
+            po300 = po
+    assert (po300 >= po10 - 0.5).all(), (
+        f"mode anti-collapse gate failed ({label} {mode}): n=300 {po300} "
+        f"vs n=10 {po10}")
+    print(f"mode anti-collapse gate ok ({label} {mode})", file=sys.stderr)
+
+    # raw solver-iterations/s of the whole batched solve (same unit as
+    # time_admm_mode: images/channels ride the vmapped grids)
+    return _timed(lambda k: float(run_cert(arrs, data_j, scenes_n, k)[1]),
+                  base_iter, n_iter, repeats)
 
 
 def time_admm_mode(shape, mode, n_iter=None, base_iter=2, repeats=4,
@@ -638,19 +760,28 @@ def time_train_step(shape=(270, 480), batch=4, channels=3, n_iter=5,
           file=sys.stderr)
 
     stats = trainer.variables.get("batch_stats")
-    args = (trainer.variables["params"], trainer.opt_state, stats,
-            jnp.asarray(lensless), jnp.asarray(psf), jnp.asarray(lensed),
-            None, None, None)
-    out = trainer._train_step(*args)
-    loss0 = float(out[3])   # d2h fetch = execution barrier (compile+run)
+    params, opt_state = trainer.variables["params"], trainer.opt_state
+    data_args = (jnp.asarray(lensless), jnp.asarray(psf),
+                 jnp.asarray(lensed), None, None, None)
+    out = trainer._train_step(params, opt_state, stats, *data_args)
+    params, opt_state, stats, loss0 = out[0], out[1], out[2], float(out[3])
     assert np.isfinite(loss0), "non-finite warmup loss"
 
+    # timed calls thread the REAL optimizer state (params advance every
+    # step), so the loss-decrease gate below certifies on-chip training
+    # progress with the very executable being timed (VERDICT r4 #2)
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        out = trainer._train_step(*args)
-        loss = float(out[3])
+        out = trainer._train_step(params, opt_state, stats, *data_args)
+        params, opt_state, stats, loss = (out[0], out[1], out[2],
+                                          float(out[3]))
     dt = time.perf_counter() - t0
     assert np.isfinite(loss)
+    assert loss < loss0, (
+        f"on-chip train gate failed: loss did not decrease "
+        f"({loss0:.5f} -> {loss:.5f} over {n_calls + 1} steps)")
+    print(f"on-chip train gate ok: loss {loss0:.5f} -> {loss:.5f} over "
+          f"{n_calls + 1} steps", file=sys.stderr)
     return n_calls / dt
 
 
@@ -673,19 +804,49 @@ def run_mode(mode: str, shape=(3040, 4056)):
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     label = f"{shape[0] * shape[1] / 1e6:.0f}MP"
-    val = time_admm_mode(shape, mode)
-    images = 1 if mode == "rgb" else 4
+    certified = False
+    val = None
+    if (os.environ.get("BENCH_FFT_BACKEND", "rfused") == "rfused"
+            and os.environ.get("BENCH_CERTIFY", "1") != "0"):
+        try:
+            val = certify_and_time_mode(shape, mode, label)
+            certified = True
+        except AssertionError:
+            raise  # a failed mode gate aborts the rung
+        except Exception as e:
+            print(f"mode certification unavailable ({e}); "
+                  "timing via the uncertified path", file=sys.stderr)
+    if val is None:
+        val = time_admm_mode(shape, mode)
     metric = (f"ADMM iterations/s/chip at {label} (RGB)" if mode == "rgb"
               else f"ADMM iterations/s/chip at {label} (gray, batch=4)")
     # vs_baseline: linear pixel scaling of the reference GPU number,
     # including channels/batch as extra pixels
     pix_factor = 3 if mode == "rgb" else 4
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(val, 3),
         "unit": "iter/s",
         "vs_baseline": round(val * pix_factor / _baseline(shape), 3),
-    }))
+    }
+    line.update(_config_fields(os.environ.get("BENCH_FFT_BACKEND", "rfused"),
+                               certified))
+    line.update(_LAST_TIMING)
+    print(json.dumps(line))
+
+
+def _config_fields(backend, certified):
+    """Backend-identity fields for the JSON artifact (VERDICT r4 #5):
+    a degraded rung (io fallback, non-rfused backend, uncertified
+    timing) is LOUDLY marked instead of silently emitting a slower
+    number the driver can't explain."""
+    io = os.environ.get("LPT_SPLIT_IO", "f32") or "f32"
+    cfg = (f"io={io},tv={os.environ.get('LPT_CARRY_TV', 'f32') or 'f32'},"
+           f"v={os.environ.get('LPT_CARRY_V', 'f32') or 'f32'},"
+           f"prec={os.environ.get('LPT_PALLAS_PRECISION', 'highest') or 'highest'}")
+    degraded = (backend != "rfused" or io != "bf16" or not certified)
+    return {"backend": backend, "config": cfg, "certified": certified,
+            "degraded": degraded}
 
 
 def run_rung(rung_idx: int):
@@ -695,28 +856,30 @@ def run_rung(rung_idx: int):
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     verify_split(jax)
     iters_per_s = None
-    if (os.environ.get("BENCH_FFT_BACKEND", "rfused") == "rfused"
+    certified = False
+    backend = os.environ.get("BENCH_FFT_BACKEND", "rfused")
+    if (backend == "rfused"
             and os.environ.get("BENCH_CERTIFY", "1") != "0"):
         try:
             iters_per_s = certify_and_time(shape, label)
+            certified = True
         except AssertionError:
             raise  # a failed at-scale gate aborts the rung (io fallback)
         except Exception as e:
             print(f"scale certification unavailable ({e}); "
                   "timing via the uncertified path", file=sys.stderr)
     if iters_per_s is None:
-        iters_per_s = time_admm(shape)
+        iters_per_s, backend = time_admm(shape)
     print(f"ADMM it/s at {label} gray: {iters_per_s:.2f}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": f"ADMM iterations/s/chip at {label} (grayscale)",
-                "value": round(iters_per_s, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(iters_per_s / _baseline(shape), 3),
-            }
-        )
-    )
+    line = {
+        "metric": f"ADMM iterations/s/chip at {label} (grayscale)",
+        "value": round(iters_per_s, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_s / _baseline(shape), 3),
+    }
+    line.update(_config_fields(backend, certified))
+    line.update(_LAST_TIMING)
+    print(json.dumps(line))
 
 
 def main():
@@ -734,6 +897,10 @@ def main():
                 "value": round(val, 3),
                 "unit": "step/s",
                 "vs_baseline": None,
+                "backend": "train-step",
+                # certified = the in-loop loss-decrease gate passed
+                "certified": True,
+                "degraded": False,
             }))
             return
         # secondary rungs (RGB / batch=4) — not the driver's headline
@@ -810,32 +977,45 @@ def main():
     raise RuntimeError("all benchmark rungs failed")
 
 
-def _run_secondary_modes(child_env):
-    """First-class secondary rungs (BENCH_MODES=rgb,batch,train): run
-    each as a subprocess after the headline and print its JSON line to
-    stderr (the driver parses the LAST stdout line as the headline, so
-    secondary metrics ride the artifact tail).  The batched/RGB rungs
-    run at the HBM stream bound (~97% of SOL) where the single-image
-    pipeline is issue-latency-bound — they are the scaling story."""
-    modes = [m for m in os.environ.get("BENCH_MODES", "").split(",") if m]
+def _run_secondary_modes(child_env, budget_s=None):
+    """First-class secondary rungs (BENCH_MODES, default rgb,batch,train
+    — VERDICT r4 #2): run each as a subprocess after the headline and
+    print its JSON line to STDOUT (before the final headline line, so
+    the driver's last-line contract holds while the mode metrics ride
+    the recorded stdout).  The RGB rung runs near the HBM stream bound
+    (278 plane-it/s measured round 3); batch=4 measured 158
+    image-it/s = 55% of the same bound before round-5 tuning — see
+    NOTES.md.  A shared wall-clock budget keeps a hung mode from
+    starving the headline print."""
+    modes = [m for m in os.environ.get(
+        "BENCH_MODES", "rgb,batch,train").split(",") if m]
     timeout = int(os.environ.get("BENCH_MODE_TIMEOUT", "2400"))
+    budget = budget_s if budget_s is not None else int(
+        os.environ.get("BENCH_MODES_BUDGET", "4500"))
+    t0 = time.perf_counter()
     for mode in modes:
+        left = budget - (time.perf_counter() - t0)
+        if left < 120:
+            print(f"mode {mode} skipped: modes budget exhausted "
+                  f"({budget}s)", file=sys.stderr)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--mode", mode],
-                capture_output=True, text=True, timeout=timeout,
-                env=child_env)
+                capture_output=True, text=True,
+                timeout=min(timeout, left), env=child_env)
         except subprocess.TimeoutExpired:
-            print(f"mode {mode} timed out after {timeout}s", file=sys.stderr)
+            print(f"mode {mode} timed out after {min(timeout, left):.0f}s",
+                  file=sys.stderr)
             continue
         lines = [ln for ln in proc.stdout.strip().splitlines()
                  if ln.startswith("{")]
         if proc.returncode == 0 and lines:
-            tail = [ln for ln in proc.stderr.strip().splitlines()[-6:]
+            tail = [ln for ln in proc.stderr.strip().splitlines()[-8:]
                     if "WARNING" not in ln]
             for ln in tail:
                 print(f"  [{mode}] {ln}", file=sys.stderr)
-            print(f"secondary: {lines[-1]}", file=sys.stderr)
+            print(lines[-1])   # mode metric line -> stdout tail
         else:
             print(f"mode {mode} failed (rc={proc.returncode}): "
                   f"{proc.stderr[-500:]}", file=sys.stderr)

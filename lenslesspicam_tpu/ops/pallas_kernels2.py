@@ -369,6 +369,38 @@ def _dg_left(mat, t3):
         preferred_element_type=jnp.float32, precision=_PREC)
 
 
+# Multi-row M-dim fold (round 5, VERDICT r4 #1): the packed-real W cores'
+# lane contractions ran as per-row-block batched/3-D dot_generals — at
+# 12MP each grid step issued O(br) small (32, 256)x(256, 128) matmuls
+# and the pipeline is bound by per-matmul sequencer latency, not HBM
+# bytes (NOTES.md round-3 accounting).  With the fold every lane
+# contraction collapses to ONE (br*n1, 2n2) @ (2n2, 2n2) matmul (the
+# leading-dim merge is layout-free: n1 % 8 == 0, lanes untouched), and
+# real/imag output pairs sharing an operand ride ONE matmul against
+# host-prestacked matrices (rows for left operands, lanes for right) —
+# splits at 128-lane / 8-sublane boundaries are free.
+_MM_FOLD = _os.environ.get("LPT_MM_FOLD", "1") != "0"
+# finer knobs for the fold pieces inside the dual-inverse STATE kernel,
+# which measured AGAINST the fold on-chip (round-5 A/B at 12MP: all-
+# unfolded 2.13 ms; fwd folded 2.41-2.42; fwd+inv folded 2.28; inv-only
+# folded 2.20) while e1_rtv's fwd fold won 2.08x — the kernel holds two
+# mats stacks + the v carry and its scoped-VMEM/scheduling context
+# flips the trade.  Defaults: dual-state pieces OFF, everything else ON.
+_MM_FOLD_INV = _os.environ.get("LPT_MM_FOLD_INV", "0") != "0"
+_MM_FOLD_INV_FINAL = (_os.environ.get("LPT_MM_FOLD_INV_FINAL", "").lower() or
+                      ("1" if _MM_FOLD_INV else "0")) != "0"
+_MM_FOLD_STATE_FWD = _os.environ.get("LPT_MM_FOLD_STATE_FWD", "0") != "0"
+
+
+def _dgB2(v3, mat):
+    """Lane contraction (b, a, p) x (p, q) -> (b, a, q) as ONE flattened
+    matmul: merging (b, a) is a pure leading-dim reshape (a % 8 == 0 at
+    every supported grid), so the MXU sees a single M = b*a matmul
+    instead of b batched M = a ones."""
+    b, a, p = v3.shape
+    return _mm(v3.reshape(b * a, p), mat).reshape(b, a, mat.shape[1])
+
+
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
@@ -399,9 +431,7 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
         xr = xr3.reshape(n1, bj * bw)
         xi = xi3.reshape(n1, bj * bw)
         if _KSTACK:
-            x = jnp.concatenate([xr, xi], axis=0)
-            zr = _mm(f1r[:], x).reshape(n1, bj, bw)
-            zi = _mm(f1i[:], x).reshape(n1, bj, bw)
+            zr, zi = _s1_pair(f1r, f1i, xr, xi, n1, bj, bw)
         else:
             zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
             zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
@@ -410,9 +440,7 @@ def _h_passA_kernel(n1, bj, scale, twiddle_first, xr_ref, xi_ref, f1r, f1i,
         xr = xr_ref[:].astype(jnp.float32).reshape(n1, bj * bw)
         xi = xi_ref[:].astype(jnp.float32).reshape(n1, bj * bw)
         if _KSTACK:
-            x = jnp.concatenate([xr, xi], axis=0)
-            yr = _mm(f1r[:], x).reshape(n1, bj, bw)
-            yi = _mm(f1i[:], x).reshape(n1, bj, bw)
+            yr, yi = _s1_pair(f1r, f1i, xr, xi, n1, bj, bw)
         else:
             yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
             yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
@@ -429,6 +457,25 @@ def _stack_s1(F1r, F1i):
     """K-stacked stage-1 matrices for the pass-A kernels."""
     return (jnp.concatenate([F1r, -F1i], axis=1),
             jnp.concatenate([F1i, F1r], axis=1))
+
+
+def _fold_s1(m1r, m1i):
+    """M-stack a K-stacked stage-1 pair for LPT_MM_FOLD: one (2n1, 2n1)
+    matmul emits both outputs; the imag operand becomes a dummy ref."""
+    return (jnp.concatenate([m1r, m1i], axis=0),
+            jnp.zeros((8, 128), m1r.dtype))
+
+
+def _s1_pair(f1r_ref, f1i_ref, xr, xi, n1, bj, bw):
+    """K-stacked stage-1 complex contraction of [xr; xi] -> (zr, zi);
+    under LPT_MM_FOLD both outputs come from ONE matmul (row split at
+    the free 8-sublane boundary)."""
+    x = jnp.concatenate([xr, xi], axis=0)
+    if _MM_FOLD:
+        z = _mm(f1r_ref[:], x)
+        return z[:n1].reshape(n1, bj, bw), z[n1:].reshape(n1, bj, bw)
+    return (_mm(f1r_ref[:], x).reshape(n1, bj, bw),
+            _mm(f1i_ref[:], x).reshape(n1, bj, bw))
 
 
 def _pick_block(n, target):
@@ -468,12 +515,14 @@ def h_passA(xr, xi, n, inverse, bj=None, bw=None):
     Tib = jnp.transpose(Ti.reshape(n1, n2 // bj, bj), (1, 0, 2))
     out_dt = _IO_DTYPE
     m1r, m1i = (_stack_s1(F1r, F1i) if _KSTACK else (F1r, F1i))
-    mat_spec = pl.BlockSpec(m1r.shape, lambda j, k: (0, 0),
-                            memory_space=pltpu.VMEM)
+    if _KSTACK and _MM_FOLD:
+        m1r, m1i = _fold_s1(m1r, m1i)
+    mat_specs = [pl.BlockSpec(a.shape, lambda j, k: (0, 0),
+                              memory_space=pltpu.VMEM) for a in (m1r, m1i)]
     return pl.pallas_call(
         partial(_h_passA_kernel, n1, bj, scale if inverse else 1.0, inverse),
         grid=(n2 // bj, w // bw),
-        in_specs=[data_spec, data_spec, mat_spec, mat_spec, tw_spec, tw_spec],
+        in_specs=[data_spec, data_spec] + mat_specs + [tw_spec, tw_spec],
         out_specs=(data_spec, data_spec),
         out_shape=(jax.ShapeDtypeStruct((n1, n2, w), out_dt),
                    jax.ShapeDtypeStruct((n1, n2, w), out_dt)),
@@ -503,9 +552,7 @@ def _h_passA_pair_kernel(n1, bj, scale, twiddle_first,
             xr = xr3.reshape(n1, bj * bw)
             xi = xi3.reshape(n1, bj * bw)
             if _KSTACK:
-                x = jnp.concatenate([xr, xi], axis=0)
-                zr = _mm(f1r[:], x).reshape(n1, bj, bw)
-                zi = _mm(f1i[:], x).reshape(n1, bj, bw)
+                zr, zi = _s1_pair(f1r, f1i, xr, xi, n1, bj, bw)
             else:
                 zr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
                 zi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
@@ -513,9 +560,7 @@ def _h_passA_pair_kernel(n1, bj, scale, twiddle_first,
             xr = xr3.reshape(n1, bj * bw)
             xi = xi3.reshape(n1, bj * bw)
             if _KSTACK:
-                x = jnp.concatenate([xr, xi], axis=0)
-                yr = _mm(f1r[:], x).reshape(n1, bj, bw)
-                yi = _mm(f1i[:], x).reshape(n1, bj, bw)
+                yr, yi = _s1_pair(f1r, f1i, xr, xi, n1, bj, bw)
             else:
                 yr = (_mm(f1r[:], xr) - _mm(f1i[:], xi)).reshape(n1, bj, bw)
                 yi = (_mm(f1r[:], xi) + _mm(f1i[:], xr)).reshape(n1, bj, bw)
@@ -549,13 +594,15 @@ def h_passA_pair(x1r, x1i, x2r, x2i, n, inverse, bj=None, bw=None):
     Tib = jnp.transpose(Ti.reshape(n1, n2 // bj, bj), (1, 0, 2))
     shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
     m1r, m1i = (_stack_s1(F1r, F1i) if _KSTACK else (F1r, F1i))
-    mat_spec = pl.BlockSpec(m1r.shape, lambda j, k: (0, 0),
-                            memory_space=pltpu.VMEM)
+    if _KSTACK and _MM_FOLD:
+        m1r, m1i = _fold_s1(m1r, m1i)
+    mat_specs = [pl.BlockSpec(a.shape, lambda j, k: (0, 0),
+                              memory_space=pltpu.VMEM) for a in (m1r, m1i)]
     z1r, z1i, z2r, z2i = pl.pallas_call(
         partial(_h_passA_pair_kernel, n1, bj, scale if inverse else 1.0,
                 inverse),
         grid=(n2 // bj, w // bw),
-        in_specs=[data_spec] * 4 + [mat_spec] * 2 + [tw_spec] * 2,
+        in_specs=[data_spec] * 4 + mat_specs + [tw_spec] * 2,
         out_specs=(data_spec,) * 4,
         out_shape=(shape,) * 4,
         interpret=_INTERPRET,
@@ -933,32 +980,46 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
         # (n2, 2n2) matrices and the contraction runs as a kb-BATCHED
         # left matmul (_dg_left): the output lands directly in the
         # (kb, n2, wv) block layout — the former swapaxes relayouts
-        # (8 per grid step) disappear entirely
+        # (8 per grid step) disappear entirely.  With LPT_MM_FOLD, mr is
+        # the (2n2, 2n2) M-stack of both and ONE batched matmul emits
+        # the real/imag pair (mi unused — a pruned dummy ref).
         if _KSTACK:
             t = jnp.concatenate([vr, vi], axis=1)      # (kb, 2n2, wv)
-            return _dg_left(mr, t), _dg_left(mi, t)
+            mr_ = mr if mr.dtype == t.dtype else mr.astype(t.dtype)
+            if _MM_FOLD:
+                z = _dg_left(mr_, t)                   # (kb, 2n2, wv)
+                n2_ = z.shape[1] // 2
+                return z[:, :n2_], z[:, n2_:]
+            mi_ = mi if mi.dtype == t.dtype else mi.astype(t.dtype)
+            return _dg_left(mr_, t), _dg_left(mi_, t)
         # concat-free: mr/mi are the plain (n2, n2) stage matrices
-        zr = _dg_left(mr, vr) - _dg_left(mi, vi)
-        zi = _dg_left(mr, vi) + _dg_left(mi, vr)
+        mr_ = mr if mr.dtype == vr.dtype else mr.astype(vr.dtype)
+        mi_ = mi if mi.dtype == vr.dtype else mi.astype(vr.dtype)
+        zr = _dg_left(mr_, vr) - _dg_left(mi_, vi)
+        zi = _dg_left(mr_, vi) + _dg_left(mi_, vr)
         return zr, zi
 
     f32 = jnp.float32
-    if _CONCAT_FUSE:
+    # stage-2 matmul inputs ride bf16 when _COMBINE_BF16_T (identical
+    # numerics at Precision.DEFAULT, half the concat-temporary VMEM);
+    # all elementwise combine math stays f32
+    cdt = jnp.bfloat16 if _COMBINE_BF16_T else f32
+    if _COMBINE_CF:
         # both forward stage-2 contractions as ONE double-width matmul
         # set (planes concatenated along lanes), ditto the two inverse
         # stage-2 contractions — 8 MXU ops per step instead of 16
         cr_, ci_ = stage2(
-            jnp.concatenate([xr_ref[:].astype(f32),
-                             yr_ref[:].astype(f32)], axis=2),
-            jnp.concatenate([xi_ref[:].astype(f32),
-                             yi_ref[:].astype(f32)], axis=2),
+            jnp.concatenate([xr_ref[:].astype(cdt),
+                             yr_ref[:].astype(cdt)], axis=2),
+            jnp.concatenate([xi_ref[:].astype(cdt),
+                             yi_ref[:].astype(cdt)], axis=2),
             f2fr[:], f2fi[:])
         ar, br = cr_[:, :, :bw], cr_[:, :, bw:]
         ai, bi = ci_[:, :, :bw], ci_[:, :, bw:]
     else:
-        ar, ai = stage2(xr_ref[:].astype(f32), xi_ref[:].astype(f32),
+        ar, ai = stage2(xr_ref[:].astype(cdt), xi_ref[:].astype(cdt),
                         f2fr[:], f2fi[:])
-        br, bi = stage2(yr_ref[:].astype(f32), yi_ref[:].astype(f32),
+        br, bi = stage2(yr_ref[:].astype(cdt), yi_ref[:].astype(cdt),
                         f2fr[:], f2fi[:])
     hr = hr_ref[:].astype(f32)
     hi = hi_ref[:].astype(f32)
@@ -967,15 +1028,18 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
     fi = rr * (ai + hr * bi - hi * br)
     f1r = fr * hr - fi * hi
     f1i = fr * hi + fi * hr
-    if _CONCAT_FUSE:
-        gr_, gi_ = stage2(jnp.concatenate([fr, f1r], axis=2),
-                          jnp.concatenate([fi, f1i], axis=2),
-                          f2ir[:], f2ii[:])
+    if _COMBINE_CF:
+        gr_, gi_ = stage2(
+            jnp.concatenate([fr.astype(cdt), f1r.astype(cdt)], axis=2),
+            jnp.concatenate([fi.astype(cdt), f1i.astype(cdt)], axis=2),
+            f2ir[:], f2ii[:])
         a0r, a1r = gr_[:, :, :bw], gr_[:, :, bw:]
         a0i, a1i = gi_[:, :, :bw], gi_[:, :, bw:]
     else:
-        a0r, a0i = stage2(fr, fi, f2ir[:], f2ii[:])
-        a1r, a1i = stage2(f1r, f1i, f2ir[:], f2ii[:])
+        a0r, a0i = stage2(fr.astype(cdt), fi.astype(cdt),
+                          f2ir[:], f2ii[:])
+        a1r, a1i = stage2(f1r.astype(cdt), f1i.astype(cdt),
+                          f2ir[:], f2ii[:])
     a0r_ref[:] = a0r.astype(a0r_ref.dtype)
     a0i_ref[:] = a0i.astype(a0i_ref.dtype)
     a1r_ref[:] = a1r.astype(a1r_ref.dtype)
@@ -1019,13 +1083,22 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
     if _KSTACK:
         F2fr, F2fi = _stack_s1(F2fr, F2fi)
         F2ir, F2ii = _stack_s1(F2ir, F2ii)
-        mat_spec = pl.BlockSpec(F2fr.shape, lambda i, k: (0, 0),
-                                memory_space=pltpu.VMEM)
+        if _MM_FOLD:
+            # M-stack the real/imag pair: ONE batched matmul per stage2
+            # (see stage2's fold branch); the imag operands become
+            # pruned dummies
+            dummy = jnp.zeros((8, 128), F2fr.dtype)
+            F2fr = jnp.concatenate([F2fr, F2fi], axis=0)
+            F2ir = jnp.concatenate([F2ir, F2ii], axis=0)
+            F2fi = F2ii = dummy
+    mat_specs = [pl.BlockSpec(a.shape, lambda i, k: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 for a in (F2fr, F2fi, F2ir, F2ii)]
     shape = jax.ShapeDtypeStruct((n1, n2, w), _IO_DTYPE)
     a0r, a0i, a1r, a1i = pl.pallas_call(
         partial(_h_combine_dual_kernel, n2),
         grid=(n1 // kb, w // bw),
-        in_specs=[data_spec] * 7 + [mat_spec] * 4,
+        in_specs=[data_spec] * 7 + mat_specs,
         out_specs=(data_spec,) * 4,
         out_shape=(shape,) * 4,
         interpret=_INTERPRET,
@@ -1295,7 +1368,7 @@ def ifft_w_dual(a0r, a0i, a1r, a1i, block_rows=None):
 # ---------------------------------------------------------------------------
 
 
-_N_RMATS = 44  # 30 base + 14 K-stacked complex-matmul operands
+_N_RMATS = 51  # 30 base + 14 K-stacked + 7 M-fold double-stacked operands
 
 _KSTACK = _os.environ.get("LPT_KSTACK", "1") != "0"
 # finer knobs: the K-stack concats are VPU copies; in the INVERSE core
@@ -1303,6 +1376,20 @@ _KSTACK = _os.environ.get("LPT_KSTACK", "1") != "0"
 # net-negative — separately toggleable for measurement
 _KSTACK_INV = _KSTACK and _os.environ.get("LPT_KSTACK_INV", "1") != "0"
 _DUAL_CONCAT = _os.environ.get("LPT_DUAL_CONCAT", "1") != "0"
+# combine-kernel-only concat fusion: with LPT_MM_FOLD the fused double-
+# width stage2 saves only 1 matmul per call, while its (kb, 2n2, 2bw)
+# f32 temporaries dominate the kernel's scoped VMEM (the 0.84 MB that
+# blocks KB=16, NOTES.md round-3).  LPT_COMBINE_CF=0 processes the two
+# planes separately — half-width temporaries, one extra matmul.
+_COMBINE_CF = (_os.environ.get("LPT_COMBINE_CF", "").lower() or
+               ("1" if _CONCAT_FUSE else "0")) != "0"
+# bf16 stage-2 matmul INPUTS in the combine kernel: at Precision.DEFAULT
+# the MXU truncates f32 operands to bf16 anyway, so pre-casting the
+# concat temporaries is numerically identical on-chip while halving the
+# kernel's dominant scoped-VMEM temporaries (the KB=16 blocker).
+# Forced off at HIGHEST precision (there it WOULD change numerics).
+_COMBINE_BF16_T = (_PREC == jax.lax.Precision.DEFAULT and
+                   _os.environ.get("LPT_COMBINE_BF16_T", "1") != "0")
 
 
 def _rplan_mats(n_full, inverse):
@@ -1385,20 +1472,34 @@ def _rplan_mats(n_full, inverse):
         cc([F1r, -F1i, f1sr, -f1si], 1),                  # inv final (pr)
         cc([F1i, F1r, f1si, f1sr], 1),                    # inv final (pi)
     )
-    mats = mats + stacked
+    # M-fold double-stacks (LPT_MM_FOLD): real/imag matmul pairs sharing
+    # an operand merge into ONE matmul — left (M-dim) stacks for the
+    # _dg_left sublane contractions, lane (N-dim) stacks for the _dgB2
+    # folded lane contractions.  Outputs split at free 8-sublane /
+    # 128-lane boundaries.
+    fold = (
+        cc([stacked[0], stacked[1]], 0),    # 44 fwd stage 1 (2n1, 2n1)
+        cc([stacked[2], stacked[3]], 1),    # 45 stage2/A-chain (2n2, 2n2)
+        cc([stacked[4], stacked[5]], 1),    # 46 fwd mirror
+        cc([stacked[6], stacked[7]], 1),    # 47 fwd k1=0 row
+        cc([stacked[8], stacked[9]], 1),    # 48 inv R(W)-chain
+        cc([stacked[10], stacked[11]], 1),  # 49 inv k1=0 row
+        cc([stacked[12], stacked[13]], 0),  # 50 inv final (2n1, 4n1)
+    )
+    mats = mats + stacked + fold
     assert len(mats) == _N_RMATS
     # matmul-operand indices ride the (optional) bf16 storage; twiddle/
     # unpack/mask fields are elementwise VPU operands and stay f32
     matmul_idx = frozenset(
         {0, 1, 2, 3, 6, 12, 13, 14, 15, 20, 21, 22, 23, 24, 25}
-        | set(range(30, 44)))
+        | set(range(30, 51)))
     mm = _mat_dtype()
     return (tuple(jnp.asarray(a, mm if i in matmul_idx else None)
                   for i, a in enumerate(mats)),
             float(scale), n1, n2)
 
 
-def _w_rfwd_core(x2d, n1, n2, mats):
+def _w_rfwd_core(x2d, n1, n2, mats, fold=None):
     """(br, N) split-layout real rows -> half-spectrum (br, M) pair.
 
     The mirror P_rev = P[(M-k) mod M] is computed WITHOUT permuting P:
@@ -1425,25 +1526,42 @@ def _w_rfwd_core(x2d, n1, n2, mats):
         (syr, syi, spr, spi, srr, sri, sr0r, sr0i) = mats[30:38]
         twr_n, twi_n = mats[26], mats[27]              # (k1, j2) natural
         P = jnp.concatenate([pr, pi], axis=1)          # (br, 2n1, n2)
-        yr = _dg_left(syr, P)                          # (br, k1, j2)
-        yi = _dg_left(syi, P)
-        tr = yr * twr_n - yi * twi_n
-        ti = yr * twi_n + yi * twr_n
-        T = jnp.concatenate([tr, ti], axis=2)          # (br, k1, 2j2)
+        if fold if fold is not None else _MM_FOLD:
+            # M-fold: yr/yi in ONE batched matmul (M = 2n1), every lane
+            # contraction as ONE flattened (br*n1, 2n2) matmul with the
+            # real/imag outputs lane-stacked (see _dgB2 / fold operands)
+            Y = _dg_left(mats[44], P)                  # (br, 2n1, j2)
+            yr, yi = Y[:, :n1], Y[:, n1:]
+            tr = yr * twr_n - yi * twi_n
+            ti = yr * twi_n + yi * twr_n
+            T = jnp.concatenate([tr, ti], axis=2)      # (br, k1, 2j2)
+            PP = _dgB2(T, mats[45])                    # (br, k1, 2k2)
+            Pr, Pi = PP[..., :n2], PP[..., n2:]
+            T2 = _dg_left(j1m, T)                      # k1 -> sigma1(k1)
+            RB = _dgB2(T2, mats[46])
+            Rr_b, Ri_b = RB[..., :n2], RB[..., n2:]
+            R0 = _dgB2(T[:, :1, :], mats[47])
+            R0r, R0i = R0[..., :n2], R0[..., n2:]
+        else:
+            yr = _dg_left(syr, P)                      # (br, k1, j2)
+            yi = _dg_left(syi, P)
+            tr = yr * twr_n - yi * twi_n
+            ti = yr * twi_n + yi * twr_n
+            T = jnp.concatenate([tr, ti], axis=2)      # (br, k1, 2j2)
 
-        def dg2(v, mat):                               # contract 2j2
-            return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                                       precision=_PREC)
+            def dg2(v, mat):                           # contract 2j2
+                return jax.lax.dot_general(
+                    v, mat, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC)
 
-        Pr = dg2(T, spr)                               # (br, k1, k2)
-        Pi = dg2(T, spi)
-        T2 = _dg_left(j1m, T)                          # k1 -> sigma1(k1)
-        Rr_b = dg2(T2, srr)
-        Ri_b = dg2(T2, sri)
-        t0 = T[:, :1, :]
-        R0r = dg2(t0, sr0r)
-        R0i = dg2(t0, sr0i)
+            Pr = dg2(T, spr)                           # (br, k1, k2)
+            Pi = dg2(T, spi)
+            T2 = _dg_left(j1m, T)                      # k1 -> sigma1(k1)
+            Rr_b = dg2(T2, srr)
+            Ri_b = dg2(T2, sri)
+            t0 = T[:, :1, :]
+            R0r = dg2(t0, sr0r)
+            R0i = dg2(t0, sr0i)
         Rr = jnp.concatenate([R0r, Rr_b[:, 1:, :]], axis=1)
         Ri = jnp.concatenate([R0i, Ri_b[:, 1:, :]], axis=1)
         Sr, Si = Pr + Rr, Pi - Ri
@@ -1535,12 +1653,27 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
         sg0r, sg0i = mats[40], mats[41]
         sfr, sfi = mats[42], mats[43]
         PA = jnp.concatenate([Par, Pai], axis=2)       # (br, n1, 2n2)
-        ar = dgB(PA, spr)                              # (br, k1, j2)
-        ai = dgB(PA, spi)
+        if _MM_FOLD_INV:
+            # M-fold: lane contractions as single flattened matmuls with
+            # real/imag lane-stacked, final stage as ONE batched matmul
+            # producing BOTH output planes (M = 2n1)
+            AA = _dgB2(PA, mats[45])                   # (br, k1, 2j2)
+            ar, ai = AA[..., :n2], AA[..., n2:]
+        else:
+            ar = dgB(PA, spr)                          # (br, k1, j2)
+            ai = dgB(PA, spi)
         tr_ = ar * twr - ai * twi
         ti_ = ar * twi + ai * twr
         W = jnp.concatenate([Wr_, Wi_], axis=2)
-        if n1 > 1:
+        if _MM_FOLD_INV:
+            if n1 > 1:
+                GG = _dgB2(W, mats[48])
+                G0 = _dgB2(W[:, :1, :], mats[49])
+                GG = jnp.concatenate([G0, GG[:, 1:, :]], axis=1)
+            else:
+                GG = _dgB2(W, mats[49])
+            gr, gi = GG[..., :n2], GG[..., n2:]
+        elif n1 > 1:
             gr = dgB(W, sgr)
             gi = dgB(W, sgi)
             w0 = W[:, :1, :]
@@ -1556,8 +1689,13 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
         # final: all four terms of each output in ONE batched matmul
         # (K = 4*n1, the full 128-lane MXU contraction at 12MP)
         T4 = jnp.concatenate([tr_, ti_, hr, hi], axis=1)  # (br, 4n1, j2)
-        pr_ = _dg_left(sfr, T4) * scale
-        pi_ = _dg_left(sfi, T4) * scale
+        if _MM_FOLD_INV_FINAL:
+            PP = _dg_left(mats[50], T4)                # (br, 2n1, j2)
+            pr_ = PP[:, :n1] * scale
+            pi_ = PP[:, n1:] * scale
+        else:
+            pr_ = _dg_left(sfr, T4) * scale
+            pi_ = _dg_left(sfi, T4) * scale
         return jnp.concatenate([pr_.reshape(br, m), pi_.reshape(br, m)],
                                axis=1)
 
@@ -1623,7 +1761,7 @@ def _const_specs(mats):
             for a in mats]
 
 
-def _prune_mats(mats, core, n1=2):
+def _prune_mats(mats, core, n1=2, fold=None):
     """Replace _rplan_mats entries the given core variant never touches
     with tiny dummies.  Every _const_specs operand occupies a VMEM
     block whether or not the kernel reads it, and under the KSTACK
@@ -1634,14 +1772,20 @@ def _prune_mats(mats, core, n1=2):
     if core == "rfwd":
         # the K-stacked branch also requires n1 > 1 (trace-time check in
         # _w_rfwd_core); degenerate grids take the plain path
-        used = ({6, 9, 10, 11, 26, 27} | set(range(30, 38))
-                if (_KSTACK and n1 > 1) else
-                {0, 1, 2, 3, 6, 9, 10, 11, 12, 13, 14, 15, 26, 27})
+        if _KSTACK and n1 > 1:
+            f = _MM_FOLD if fold is None else fold
+            used = ({6, 9, 10, 11, 26, 27, 44, 45, 46, 47} if f
+                    else {6, 9, 10, 11, 26, 27} | set(range(30, 38)))
+        else:
+            used = {0, 1, 2, 3, 6, 9, 10, 11, 12, 13, 14, 15, 26, 27}
     else:  # "rinv"
-        used = ({16, 17, 18, 19, 26, 27, 28, 29, 32, 33,
-                 38, 39, 40, 41, 42, 43}
-                if (_KSTACK_INV and _BATCHED_DG) else
-                {0, 1, 2, 3} | set(range(16, 30)))
+        if _KSTACK_INV and _BATCHED_DG:
+            used = {16, 17, 18, 19, 26, 27, 28, 29}
+            used |= ({45, 48, 49} if _MM_FOLD_INV
+                     else {32, 33, 38, 39, 40, 41})
+            used |= ({50} if _MM_FOLD_INV_FINAL else {42, 43})
+        else:
+            used = {0, 1, 2, 3} | set(range(16, 30))
     dummy = jnp.zeros((8, 128), jnp.float32)
     return tuple(m if i in used else dummy for i, m in enumerate(mats))
 
@@ -1921,7 +2065,7 @@ def _w_rinv_dual_state_kernel(n1, n2, scale, mu1, c_in, c_out, with_sat,
                         * (1.0 / _v_scale(mu1)))
         else:
             _sat_zero(sat_ref)
-    zr, zi = _w_rfwd_core(v, n1, n2, fmats)
+    zr, zi = _w_rfwd_core(v, n1, n2, fmats, fold=_MM_FOLD_STATE_FWD)
     vwr_ref[:] = zr.astype(vwr_ref.dtype)
     vwi_ref[:] = zi.astype(vwi_ref.dtype)
 
@@ -1942,7 +2086,7 @@ def irfft_w_dual_state(a0r, a0i, a1r, a1i, p0r, p0i, p1r, p1i,
     imats, scale, n1, n2 = _rplan_mats(n_full, True)
     fmats, _, _, _ = _rplan_mats(n_full, False)
     imats = _prune_mats(imats, "rinv", n1)
-    fmats = _prune_mats(fmats, "rfwd", n1)
+    fmats = _prune_mats(fmats, "rfwd", n1, fold=_MM_FOLD_STATE_FWD)
     spec_c = pl.BlockSpec((br, n_full), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     spec_h = pl.BlockSpec((br, mh), lambda i: (i, 0), memory_space=pltpu.VMEM)
