@@ -363,6 +363,8 @@ def _dg_left(mat, t3):
     Output keeps Q minor — used to skip the trailing transpose in the
     inverse W cores (LPT_INV_BATCHED_DG=1)."""
     br = t3.shape[0]
+    if mat.dtype != t3.dtype:   # bf16-t data against f32-stored mats
+        mat = mat.astype(t3.dtype)
     mb = jnp.broadcast_to(mat, (br,) + mat.shape)
     return jax.lax.dot_general(
         mb, t3, (((2,), (1,)), ((0,), (0,))),
@@ -398,6 +400,8 @@ def _dgB2(v3, mat):
     every supported grid), so the MXU sees a single M = b*a matmul
     instead of b batched M = a ones."""
     b, a, p = v3.shape
+    if mat.dtype != v3.dtype:   # bf16-t data against f32-stored mats
+        mat = mat.astype(v3.dtype)
     return _mm(v3.reshape(b * a, p), mat).reshape(b, a, mat.shape[1])
 
 
@@ -470,12 +474,12 @@ def _s1_pair(f1r_ref, f1i_ref, xr, xi, n1, bj, bw):
     """K-stacked stage-1 complex contraction of [xr; xi] -> (zr, zi);
     under LPT_MM_FOLD both outputs come from ONE matmul (row split at
     the free 8-sublane boundary)."""
-    x = jnp.concatenate([xr, xi], axis=0)
+    x = jnp.concatenate([_as_t(xr), _as_t(xi)], axis=0)
     if _MM_FOLD:
-        z = _mm(f1r_ref[:], x)
+        z = _mm(_m_as(f1r_ref[:], x), x)
         return z[:n1].reshape(n1, bj, bw), z[n1:].reshape(n1, bj, bw)
-    return (_mm(f1r_ref[:], x).reshape(n1, bj, bw),
-            _mm(f1i_ref[:], x).reshape(n1, bj, bw))
+    return (_mm(_m_as(f1r_ref[:], x), x).reshape(n1, bj, bw),
+            _mm(_m_as(f1i_ref[:], x), x).reshape(n1, bj, bw))
 
 
 def _pick_block(n, target):
@@ -1391,6 +1395,30 @@ _COMBINE_CF = (_os.environ.get("LPT_COMBINE_CF", "").lower() or
 _COMBINE_BF16_T = (_PREC == jax.lax.Precision.DEFAULT and
                    _os.environ.get("LPT_COMBINE_BF16_T", "1") != "0")
 
+# same trick for the W cores / pass-A kernels — default OFF: unlike the
+# combine kernel (whose inputs are ALREADY bf16 refs, so the cast
+# REMOVES an astype pass: 2.05 -> 1.79 ms/call), the W cores' stage
+# inputs are fresh f32 compute results, and the added cast pass
+# measured e1_rtv 1.12 -> 2.52 ms/call on-chip.  Knob kept for
+# experiments on other grids.
+_BF16_T = (_PREC == jax.lax.Precision.DEFAULT and
+           _os.environ.get("LPT_BF16_T", "0") != "0")
+
+
+def _tdt():
+    """Stage-matmul input dtype (see _BF16_T)."""
+    return jnp.bfloat16 if _BF16_T else jnp.float32
+
+
+def _as_t(x):
+    return x if x.dtype == _tdt() else x.astype(_tdt())
+
+
+def _m_as(mat, x):
+    """Matrix operand matched to the data dtype (cheap per-step cast of
+    a small constant when LPT_MATS_BF16 is off)."""
+    return mat if mat.dtype == x.dtype else mat.astype(x.dtype)
+
 
 def _rplan_mats(n_full, inverse):
     """Constant operand stack for the packed-real kernels (jnp arrays).
@@ -1525,7 +1553,7 @@ def _w_rfwd_core(x2d, n1, n2, mats, fold=None):
         # the lanes and forced implicit Mosaic relayouts between stages.
         (syr, syi, spr, spi, srr, sri, sr0r, sr0i) = mats[30:38]
         twr_n, twi_n = mats[26], mats[27]              # (k1, j2) natural
-        P = jnp.concatenate([pr, pi], axis=1)          # (br, 2n1, n2)
+        P = jnp.concatenate([_as_t(pr), _as_t(pi)], axis=1)  # (br, 2n1, n2)
         if fold if fold is not None else _MM_FOLD:
             # M-fold: yr/yi in ONE batched matmul (M = 2n1), every lane
             # contraction as ONE flattened (br*n1, 2n2) matmul with the
@@ -1534,7 +1562,7 @@ def _w_rfwd_core(x2d, n1, n2, mats, fold=None):
             yr, yi = Y[:, :n1], Y[:, n1:]
             tr = yr * twr_n - yi * twi_n
             ti = yr * twi_n + yi * twr_n
-            T = jnp.concatenate([tr, ti], axis=2)      # (br, k1, 2j2)
+            T = jnp.concatenate([_as_t(tr), _as_t(ti)], axis=2)  # (br, k1, 2j2)
             PP = _dgB2(T, mats[45])                    # (br, k1, 2k2)
             Pr, Pi = PP[..., :n2], PP[..., n2:]
             T2 = _dg_left(j1m, T)                      # k1 -> sigma1(k1)
@@ -1547,11 +1575,11 @@ def _w_rfwd_core(x2d, n1, n2, mats, fold=None):
             yi = _dg_left(syi, P)
             tr = yr * twr_n - yi * twi_n
             ti = yr * twi_n + yi * twr_n
-            T = jnp.concatenate([tr, ti], axis=2)      # (br, k1, 2j2)
+            T = jnp.concatenate([_as_t(tr), _as_t(ti)], axis=2)  # (br, k1, 2j2)
 
             def dg2(v, mat):                           # contract 2j2
                 return jax.lax.dot_general(
-                    v, mat, (((2,), (0,)), ((), ())),
+                    v, _m_as(mat, v), (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_PREC)
 
             Pr = dg2(T, spr)                           # (br, k1, k2)
@@ -1636,12 +1664,12 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
     Wi_ = bsi * Z3r - bsr * Z3i
 
     def dgB(v, mat):                           # contract k2
-        return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
+        return jax.lax.dot_general(v, _m_as(mat, v), (((2,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
     def dgC(v, mat):                           # contract k1 -> (br, j2, j1)
-        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
+        return jax.lax.dot_general(v, _m_as(mat, v), (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
@@ -1652,7 +1680,7 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
         sgr, sgi = mats[38], mats[39]
         sg0r, sg0i = mats[40], mats[41]
         sfr, sfi = mats[42], mats[43]
-        PA = jnp.concatenate([Par, Pai], axis=2)       # (br, n1, 2n2)
+        PA = jnp.concatenate([_as_t(Par), _as_t(Pai)], axis=2)  # (br, n1, 2n2)
         if _MM_FOLD_INV:
             # M-fold: lane contractions as single flattened matmuls with
             # real/imag lane-stacked, final stage as ONE batched matmul
@@ -1664,7 +1692,7 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
             ai = dgB(PA, spi)
         tr_ = ar * twr - ai * twi
         ti_ = ar * twi + ai * twr
-        W = jnp.concatenate([Wr_, Wi_], axis=2)
+        W = jnp.concatenate([_as_t(Wr_), _as_t(Wi_)], axis=2)
         if _MM_FOLD_INV:
             if n1 > 1:
                 GG = _dgB2(W, mats[48])
@@ -1688,7 +1716,8 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
         hi = gr * tsi + gi * tsr
         # final: all four terms of each output in ONE batched matmul
         # (K = 4*n1, the full 128-lane MXU contraction at 12MP)
-        T4 = jnp.concatenate([tr_, ti_, hr, hi], axis=1)  # (br, 4n1, j2)
+        T4 = jnp.concatenate([_as_t(tr_), _as_t(ti_), _as_t(hr),
+                              _as_t(hi)], axis=1)      # (br, 4n1, j2)
         if _MM_FOLD_INV_FINAL:
             PP = _dg_left(mats[50], T4)                # (br, 2n1, j2)
             pr_ = PP[:, :n1] * scale
