@@ -31,8 +31,13 @@ def test_timed_median_and_spread_fields():
 
 
 def test_timed_rejects_non_scaling_clock():
+    # base deterministically SLOWER than full — the difference method
+    # must refuse to report a rate from a non-scaling clock
+    def inverted(k):
+        time.sleep(0.005 if k == 1 else 0.001)
+
     with pytest.raises(AssertionError):
-        bench._timed(lambda k: None, base_iter=1, n_iter=5, repeats=1)
+        bench._timed(inverted, base_iter=1, n_iter=5, repeats=1)
 
 
 def test_config_fields_marks_degraded(monkeypatch):
