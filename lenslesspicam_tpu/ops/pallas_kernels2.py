@@ -363,8 +363,10 @@ def _dg_left(mat, t3):
     Output keeps Q minor — used to skip the trailing transpose in the
     inverse W cores (LPT_INV_BATCHED_DG=1)."""
     br = t3.shape[0]
-    if mat.dtype != t3.dtype:   # bf16-t data against f32-stored mats
-        mat = mat.astype(t3.dtype)
+    # mixed-dtype operands (bf16 mats x f32 data or vice versa) lower as
+    # native mixed-precision matmuls — do NOT insert casts here: a
+    # per-grid-step operand cast measured as a multi-hundred-us tax
+    # across the pipeline (round-5 end-to-end regression hunt)
     mb = jnp.broadcast_to(mat, (br,) + mat.shape)
     return jax.lax.dot_general(
         mb, t3, (((2,), (1,)), ((0,), (0,))),
@@ -400,8 +402,6 @@ def _dgB2(v3, mat):
     every supported grid), so the MXU sees a single M = b*a matmul
     instead of b batched M = a ones."""
     b, a, p = v3.shape
-    if mat.dtype != v3.dtype:   # bf16-t data against f32-stored mats
-        mat = mat.astype(v3.dtype)
     return _mm(v3.reshape(b * a, p), mat).reshape(b, a, mat.shape[1])
 
 
@@ -476,10 +476,10 @@ def _s1_pair(f1r_ref, f1i_ref, xr, xi, n1, bj, bw):
     the free 8-sublane boundary)."""
     x = jnp.concatenate([_as_t(xr), _as_t(xi)], axis=0)
     if _MM_FOLD:
-        z = _mm(_m_as(f1r_ref[:], x), x)
+        z = _mm(f1r_ref[:], x)
         return z[:n1].reshape(n1, bj, bw), z[n1:].reshape(n1, bj, bw)
-    return (_mm(_m_as(f1r_ref[:], x), x).reshape(n1, bj, bw),
-            _mm(_m_as(f1i_ref[:], x), x).reshape(n1, bj, bw))
+    return (_mm(f1r_ref[:], x).reshape(n1, bj, bw),
+            _mm(f1i_ref[:], x).reshape(n1, bj, bw))
 
 
 def _pick_block(n, target):
@@ -989,18 +989,14 @@ def _h_combine_dual_kernel(n2, xr_ref, xi_ref, yr_ref, yi_ref, hr_ref,
         # the real/imag pair (mi unused — a pruned dummy ref).
         if _KSTACK:
             t = jnp.concatenate([vr, vi], axis=1)      # (kb, 2n2, wv)
-            mr_ = mr if mr.dtype == t.dtype else mr.astype(t.dtype)
             if _MM_FOLD:
-                z = _dg_left(mr_, t)                   # (kb, 2n2, wv)
+                z = _dg_left(mr, t)                    # (kb, 2n2, wv)
                 n2_ = z.shape[1] // 2
                 return z[:, :n2_], z[:, n2_:]
-            mi_ = mi if mi.dtype == t.dtype else mi.astype(t.dtype)
-            return _dg_left(mr_, t), _dg_left(mi_, t)
+            return _dg_left(mr, t), _dg_left(mi, t)
         # concat-free: mr/mi are the plain (n2, n2) stage matrices
-        mr_ = mr if mr.dtype == vr.dtype else mr.astype(vr.dtype)
-        mi_ = mi if mi.dtype == vr.dtype else mi.astype(vr.dtype)
-        zr = _dg_left(mr_, vr) - _dg_left(mi_, vi)
-        zi = _dg_left(mr_, vi) + _dg_left(mi_, vr)
+        zr = _dg_left(mr, vr) - _dg_left(mi, vi)
+        zi = _dg_left(mr, vi) + _dg_left(mi, vr)
         return zr, zi
 
     f32 = jnp.float32
@@ -1414,12 +1410,6 @@ def _as_t(x):
     return x if x.dtype == _tdt() else x.astype(_tdt())
 
 
-def _m_as(mat, x):
-    """Matrix operand matched to the data dtype (cheap per-step cast of
-    a small constant when LPT_MATS_BF16 is off)."""
-    return mat if mat.dtype == x.dtype else mat.astype(x.dtype)
-
-
 def _rplan_mats(n_full, inverse):
     """Constant operand stack for the packed-real kernels (jnp arrays).
 
@@ -1579,7 +1569,7 @@ def _w_rfwd_core(x2d, n1, n2, mats, fold=None):
 
             def dg2(v, mat):                           # contract 2j2
                 return jax.lax.dot_general(
-                    v, _m_as(mat, v), (((2,), (0,)), ((), ())),
+                    v, mat, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_PREC)
 
             Pr = dg2(T, spr)                           # (br, k1, k2)
@@ -1664,12 +1654,12 @@ def _w_rinv_core(zr2d, zi2d, n1, n2, scale, mats):
     Wi_ = bsi * Z3r - bsr * Z3i
 
     def dgB(v, mat):                           # contract k2
-        return jax.lax.dot_general(v, _m_as(mat, v), (((2,), (0,)), ((), ())),
+        return jax.lax.dot_general(v, mat, (((2,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
     def dgC(v, mat):                           # contract k1 -> (br, j2, j1)
-        return jax.lax.dot_general(v, _m_as(mat, v), (((1,), (1,)), ((), ())),
+        return jax.lax.dot_general(v, mat, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
