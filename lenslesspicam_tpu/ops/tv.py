@@ -43,10 +43,15 @@ def finite_diff_gram_spectrum(padded_shape, dtype=jnp.float32):
     independently, so the per-depth 4-point kernel is the correct gram.
     """
     depth, ph, pw, ch = padded_shape
-    kernel = np.zeros((1, ph, pw, 1), np.float64)
-    kernel[0, 0, 0, 0] = 4.0
-    kernel[0, 0, 1, 0] = kernel[0, 0, -1, 0] = -1.0
-    kernel[0, 1, 0, 0] = kernel[0, -1, 0, 0] = -1.0
-    spec = np.abs(np.fft.rfft2(kernel[0, :, :, 0]))
-    out = np.broadcast_to(spec[None, :, :, None], (depth, ph, pw // 2 + 1, ch))
-    return jnp.asarray(out, dtype)
+    # closed form of |rfft2(4-point laplacian)|: the kernel's transform
+    # is 4 - 2cos(2*pi*ky/ph) - 2cos(2*pi*kx/pw), real and >= 0, so the
+    # magnitude IS the value.  Computed in-graph (iota + cos) instead of
+    # materializing a numpy constant: at 12 MP RGB the host-side array
+    # was a 302 MB HLO constant — over the remote-compile request limit
+    # (docs/tpu_runtime_notes.md HTTP-413 trap).
+    wy = 2.0 * np.pi * jnp.arange(ph, dtype=jnp.float32) / ph
+    wx = 2.0 * np.pi * jnp.arange(pw // 2 + 1, dtype=jnp.float32) / pw
+    spec = (4.0 - 2.0 * jnp.cos(wy)[:, None] - 2.0 * jnp.cos(wx)[None, :])
+    spec = jnp.maximum(spec, 0.0).astype(dtype)
+    return jnp.broadcast_to(spec[None, :, :, None],
+                            (depth, ph, pw // 2 + 1, ch))
