@@ -800,7 +800,7 @@ def run_mode(mode: str, shape=(3040, 4056)):
     os.environ.setdefault("LPT_CARRY_TV", "i16")
     os.environ.setdefault("LPT_CARRY_V", "i16")
     os.environ.setdefault("LPT_PALLAS_PRECISION", "default")
-    os.environ.setdefault("LPT_MATS_BF16", "1")
+    os.environ.setdefault("LPT_MATS_BF16", "0")
     jax = _setup_jax()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     label = f"{shape[0] * shape[1] / 1e6:.0f}MP"
@@ -948,10 +948,11 @@ def main():
                         "i16" if split_io == "bf16" else "f32"),
                     # measured-best carry-kernel row block at 12MP
                     LPT_E_BLOCK=os.environ.get("BENCH_E_BLOCK", "16"),
-                    # bf16 storage of the matmul stage matrices: free at
-                    # DEFAULT precision, measured ~0.1 ms faster in the
-                    # combine/dual-state kernels with the sat channel on
-                    LPT_MATS_BF16=os.environ.get("BENCH_MATS_BF16", "1"),
+                    # f32 matmul stage matrices: with the round-5 M-dim
+                    # fold, MIXED-dtype stage matmuls (bf16 mats x f32
+                    # data) fall off the fast path — e1_rtv measured
+                    # 1.12 ms (f32 mats) vs 2.51 ms (bf16 mats)
+                    LPT_MATS_BF16=os.environ.get("BENCH_MATS_BF16", "0"),
                 )
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--rung",

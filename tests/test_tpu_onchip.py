@@ -40,7 +40,7 @@ def test_compiled_rfused_certified_small_grid():
     env["LPT_SPLIT_IO"] = "bf16"
     env["LPT_CARRY_TV"] = "i16"
     env["LPT_CARRY_V"] = "i16"
-    env["LPT_MATS_BF16"] = "1"
+    env["LPT_MATS_BF16"] = "0"
     # anti_collapse=False: that gate is calibrated at the headline 12MP
     # scene where the compiled trajectory holds steady past n=100; at
     # 1024x1024 both the exact and compiled solvers semiconverge
