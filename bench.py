@@ -1,7 +1,10 @@
 """Headline benchmark: ADMM iterations/s/chip at 12 MP (north star).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints JSON metric lines on stdout — certified secondary mode rungs
+(RGB / batch=4 / train step, BENCH_MODES) first, the HEADLINE LAST:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "backend": ..., "config": ..., "certified": ..., "degraded": ...,
+   "median": ..., "iqr": ..., "n_meas": N}
 
 Baseline for vs_baseline: the reference's published RTX A5000 timing of
 2.88 ms for 5 grayscale ADMM iterations (paper/paper.md:152) at the

@@ -184,30 +184,21 @@ def load_torch_lpips(path, net="vgg"):
 def save_params_npz(variables, path):
     """Write flax LPIPS params as a flat .npz ('/'-joined keys) — the
     portable, torch-free fixture format."""
-    flat = {}
+    from flax import traverse_util
 
-    def rec(tree, prefix):
-        if isinstance(tree, dict):
-            for k, v in tree.items():
-                rec(v, f"{prefix}/{k}" if prefix else k)
-        else:
-            flat[prefix] = np.asarray(tree)
-
-    rec(variables, "")
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in traverse_util.flatten_dict(variables).items()}
     np.savez(path, **flat)
 
 
 def load_params_npz(path):
     """Inverse of :func:`save_params_npz`."""
+    from flax import traverse_util
+
     data = np.load(path)
-    tree = {}
-    for key in data.files:
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(data[key])
-    return tree
+    return traverse_util.unflatten_dict(
+        {tuple(key.split("/")): jnp.asarray(data[key])
+         for key in data.files})
 
 
 def make_standin_weights(path, net="vgg", seed=0):

@@ -20,6 +20,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .distributed import put_global
+
 
 def make_mesh(n_data: int | None = None, n_depth: int = 1, devices=None) -> Mesh:
     """Build a ``(data, depth)`` mesh from available devices."""
@@ -46,21 +48,15 @@ def shard_convolver(mesh: Mesh, conv):
     """Place the convolver's spectrum depth-sharded on the mesh."""
     import dataclasses
 
-    from .distributed import put_global
-
     H = put_global(conv.H, NamedSharding(mesh, conv_spec()))
     return dataclasses.replace(conv, H=H)
 
 
 def shard_batch(mesh: Mesh, data):
-    from .distributed import put_global
-
     return put_global(data, NamedSharding(mesh, batch_spec()))
 
 
 def replicate(mesh: Mesh, tree):
-    from .distributed import put_global
-
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
 

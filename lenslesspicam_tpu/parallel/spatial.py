@@ -37,6 +37,7 @@ from ..ops import pallas_fft as pf
 from ..ops.fft_conv import FFTConvolver
 from ..ops.tv import finite_diff_gram_spectrum, soft_thresh
 from ..recon.admm import ADMMParams
+from .distributed import put_global
 
 AXIS = "sp"
 
@@ -212,8 +213,6 @@ def spatial_sharded_admm(mesh: Mesh, conv: FFTConvolver, data,
 
     # placements via put_global: identical to device_put single-process,
     # and valid across processes on a multi-host mesh
-    from .distributed import put_global
-
     ba = batch_axis  # data (B, D, ph, pw, C): dim 0 rides the DCN axis
     H_s = put_global(H_pad, NamedSharding(mesh, P(None, None, AXIS)))
     R_s = put_global(R_pad, NamedSharding(mesh, P(None, None, AXIS)))

@@ -3,6 +3,7 @@ markers, and the degraded-rung flag (VERDICT r4 #5/#6).  Pure-CPU unit
 tests of the harness itself — the full rungs run on the chip."""
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -67,13 +68,11 @@ def test_mode_line_schema_smoke():
         "import bench\n"
         "bench.run_mode('rgb', shape=(96, 128))\n"
     )
-    env = dict(__import__('os').environ, LPT_PLATFORM="cpu",
-               BENCH_MODE_NITER="12")
+    env = dict(os.environ, LPT_PLATFORM="cpu", BENCH_MODE_NITER="12")
     proc = subprocess.run([sys.executable, "-c", code], env=env,
                           capture_output=True, text=True, timeout=900,
-                          cwd=__import__('os').path.dirname(
-                              __import__('os').path.dirname(
-                                  __import__('os').path.abspath(__file__))))
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     assert lines, proc.stdout
