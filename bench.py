@@ -796,12 +796,13 @@ def time_train_step(shape=(270, 480), batch=4, channels=3, n_iter=5,
 
 def run_mode(mode: str, shape=(3040, 4056)):
     """Measure an RGB or batch=4 rung and print its JSON line."""
-    # vmapped pallas kernels gain a leading grid dimension whose
-    # prefetch adds a buffer set — the single-image row blocks exceed
-    # scoped VMEM under vmap (measured +~40%), so the mode rungs run
-    # tighter blocks unless explicitly overridden
-    os.environ.setdefault("LPT_E1R_BLOCK", "24")
-    os.environ.setdefault("LPT_E2R_BLOCK", "16")
+    # vmapped pallas kernels gain a leading grid dimension; round-3's
+    # tighter vmap blocks (24/16) are obsolete — the round-5 operand
+    # pruning + fold freed enough scoped VMEM that the single-image
+    # 32-row blocks compile under vmap and measure ~8% faster
+    # (34.7 -> 37.5 it/s batch=4 sweep)
+    os.environ.setdefault("LPT_E1R_BLOCK", "32")
+    os.environ.setdefault("LPT_E2R_BLOCK", "32")
     # standalone `--mode` runs must carry the fast-path dtype config
     # themselves (when spawned by _run_secondary_modes these are
     # already in the child env)
