@@ -611,12 +611,29 @@ def certify_and_time_mode(shape, mode, label, n_iter=None, base_iter=2,
         mse = jnp.mean((on - sc5) ** 2, axis=(-2, -3))
         return (-10.0 * jnp.log10(mse + 1e-12)).reshape(-1)
 
-    conv = admm.make_convolver(psf)
+    # exact reference PER PLANE: one full-RGB 12MP exact solve keeps
+    # ~10 padded f32 planes x 600 MB live and crashed the TPU worker
+    # twice (UNAVAILABLE: worker process crashed) — the gray solver at
+    # 1/nplanes the footprint is the same numbers, one compile
+    conv1 = admm.make_convolver(psf2d[None, :, :, None])
 
     @jax.jit
-    def exact_psnrs(conv_, data, sc, n):
-        out = admm.run(conv_, data, n_iter=n)
-        return psnrs_of(out, sc)
+    def exact_psnr_plane(conv_, d2, sc2, n):
+        out = admm.run(conv_, d2[None, None, :, :, None],
+                       n_iter=n)[0, 0, :, :, 0]
+        on = out / jnp.maximum(out.max(), 1e-9)
+        return -10.0 * jnp.log10(jnp.mean((on - sc2) ** 2) + 1e-12)
+
+    def exact_psnrs(_conv, data, sc, n):
+        d = np.asarray(data)
+        s = np.asarray(sc)
+        vals = [float(exact_psnr_plane(
+                    conv1, jnp.asarray(d[b_, 0, :, :, c_]),
+                    jnp.asarray(s[b_, 0, :, :, c_]), n))
+                for b_ in range(d.shape[0]) for c_ in range(d.shape[-1])]
+        return jnp.asarray(vals)
+
+    conv = None
 
     pre, info = admm_split.precompute_rsplit_general(psf, meas)
     arr_fields = ("Hr", "Hi", "R", "mask", "data_pad",
