@@ -307,7 +307,7 @@ def _cert_scene_psf(shape, rng):
     return scene, psf
 
 
-def certify_and_time(shape, label, n_iter=50, base_iter=2, repeats=3,
+def certify_and_time(shape, label, n_iter=50, base_iter=2, repeats=5,
                      anti_collapse=True):
     """At-scale quality certification of the COMPILED rfused pipeline +
     timing with the SAME executable (VERDICT r3 #1).
