@@ -1076,8 +1076,6 @@ def fft_h_combine_dual(rkr, rki, vr, vi, hr, hi, rr, h):
     kb = _pick_block(n1, int(_os.environ.get("LPT_PALLAS_KB") or _io_kb_default()))
     data_spec = pl.BlockSpec((kb, n2, bw), lambda i, k: (i, 0, k),
                              memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((n2, n2), lambda i, k: (0, 0),
-                            memory_space=pltpu.VMEM)
     F2fr, F2fi = _mats(h, False)[2:4]
     F2ir, F2ii = _mats(h, True)[2:4]
     if _KSTACK:

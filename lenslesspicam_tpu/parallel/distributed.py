@@ -227,9 +227,13 @@ def hlo_dcn_psum_bytes(fn, *args, mesh=None) -> int:
     text = comp.as_text()
     total = 0
     # match the op's OUTPUT type: `= f32[16]{0} all-reduce(...)` (operand
-    # types are not always printed in compiled dumps)
+    # types are not always printed in compiled dumps).  Async lowering
+    # splits each reduce into -start/-done; only the -done carries the
+    # plain result type (the start's output is a tuple), so counting
+    # bare sync ops + "-done" sees each psum exactly once
     for m in re.finditer(
-            r"= ([a-z0-9]+)\[([0-9,]*)\]\S* all-reduce", text):
+            r"= ([a-z0-9]+)\[([0-9,]*)\]\S* all-reduce(?:-done)?\(",
+            text):
         dt, dims = m.group(1), m.group(2)
         size = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                 "f64": 8, "s16": 2, "u8": 1, "pred": 1}.get(dt, 4)
